@@ -1,0 +1,423 @@
+"""calculate_feature_matrix — compile a feature DAG to ONE Spark plan.
+
+Replaces the reference's per-unique-cutoff loop
+(computational_backends/calculate_feature_matrix.py:51-369, 437-506)
+with a single declarative plan:
+
+- aggregation features are grouped by (relationship path, window,
+  observation count) — one as-of aggregation per group (asof.py), all
+  expression primitives fused into ONE groupBy (the Spark analog of
+  the reference's `group_features` fusion, feature_set.py:157-183)
+- where-clauses become conditional aggregation (F.when inside the
+  agg), not a second pass (fsc.py:672-674 analog)
+- direct features recurse: parent features are computed at the
+  parent grain with propagated cutoffs, then joined back down the FK
+  (fsc.py:594-650 analog); purely-static parent attributes skip the
+  recursion and join directly (broadcast-able dimension join)
+- transform features compile to Column expressions on the target
+  frame; uses_full_dataframe (window) transforms are computed over
+  the full table in time order BEFORE instance filtering
+  (feature_set.py:102-155 semantics) — sound because all our window
+  frames look only backward in time (no leakage)
+
+Internally all features get sanitized column names (_f0.._fn); the
+final select renames to reference-parity feature names.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from featuretools_spark.asof import CUTOFF_COL, AggSpec, asof_aggregate
+from featuretools_spark.entityset import EntitySet
+from featuretools_spark.features import (
+    AggregationFeature,
+    DirectFeature,
+    FeatureBase,
+    GroupByTransformFeature,
+    IdentityFeature,
+    TransformFeature,
+)
+from featuretools_spark.primitives.base import TransformContext
+from featuretools_spark.timedelta import Timedelta
+
+
+def calculate_feature_matrix(
+    features: list[FeatureBase],
+    entityset: EntitySet | None = None,
+    cutoff_time=None,
+    instance_ids=None,
+    training_window=None,
+    include_cutoff_time: bool = True,
+    strategy: str = "join",
+    cutoff_time_in_index: bool = True,
+) -> DataFrame:
+    """Compute the feature matrix.
+
+    cutoff_time: None | scalar datetime/str | Spark DataFrame with
+    (target-index column or 'instance_id', 'time', *pass_columns).
+    Returns a DataFrame keyed by (instance, time) + one column per
+    feature, named with reference-parity feature names.
+    """
+    es = entityset or _find_es(features)
+    target = features[0].entity
+    for f in features:
+        if f.entity != target:
+            raise ValueError("all features must target the same dataframe")
+    index_col = es.index(target)
+    training_window = Timedelta.parse(training_window) if training_window else None
+
+    cutoffs, pass_cols = _build_cutoffs(es, target, index_col, cutoff_time)
+    if instance_ids is not None:
+        cutoffs = cutoffs.filter(F.col(index_col).isin(list(instance_ids)))
+
+    # ---- dedupe features by name, keep order ----
+    ordered, seen = [], set()
+    for f in features:
+        n = f.get_name()
+        if n not in seen:
+            seen.add(n)
+            ordered.append(f)
+
+    internal = {f.get_name(): f"_f{i}" for i, f in enumerate(ordered)}
+    base_keys = cutoffs.select(index_col, CUTOFF_COL).distinct()
+    matrix = base_keys
+
+    agg_feats = [f for f in ordered if isinstance(f, AggregationFeature)]
+    direct_feats = [f for f in ordered if isinstance(f, DirectFeature)]
+    other_feats = [
+        f for f in ordered if not isinstance(f, (AggregationFeature, DirectFeature))
+    ]
+
+    # ---- aggregation features, grouped per (path, window, n_obs) ----
+    groups: dict = {}
+    for f in agg_feats:
+        path_key = tuple(
+            (r.parent_name, r.parent_col, r.child_name, r.child_col)
+            for r in f.relationship_path
+        )
+        up = f.use_previous
+        win = up if (up and not up.is_observation) else None
+        nobs = int(up.value) if (up and up.is_observation) else None
+        groups.setdefault((path_key, win, nobs), []).append(f)
+
+    for (path_key, win, nobs), feats in groups.items():
+        path = feats[0].relationship_path
+        child_df, key_col, time_col = _child_frame(es, path)
+        specs = []
+        for f in feats:
+            child_df, in_cols = _materialize_features(
+                es, f.child_entity, child_df, f.base_features, time_col
+            )
+            where_col = None
+            if f.where is not None:
+                child_df, wcols = _materialize_features(
+                    es, f.child_entity, child_df, [f.where], time_col
+                )
+                where_col = wcols[0]
+            kinds = getattr(f.primitive, "input_kinds", ("numeric",))
+            if kinds == () :
+                in_cols = []
+            specs.append(
+                AggSpec(internal[f.get_name()], f.primitive, in_cols, where_col)
+            )
+        eff_window = win or training_window
+        part = asof_aggregate(
+            child_df, key_col, time_col, base_keys, index_col, specs,
+            include_cutoff_time=include_cutoff_time,
+            training_window=eff_window,
+            n_observations=nobs,
+            strategy=strategy,
+        )
+        matrix = matrix.join(part, on=[index_col, CUTOFF_COL], how="left")
+        # re-fill defaults lost through the outer join
+        fills = {
+            s.out_name: s.primitive.default_value
+            for s in specs
+            if s.primitive.default_value is not None
+        }
+        if fills:
+            matrix = matrix.fillna(fills)
+
+    # ---- direct features ----
+    static_direct = [f for f in direct_feats if _is_static(f.base_feature)]
+    dynamic_direct = [f for f in direct_feats if not _is_static(f.base_feature)]
+
+    if static_direct or other_feats or dynamic_direct:
+        # join FK columns of the target onto the matrix (needed for
+        # direct features and identity/transform inputs)
+        pass
+
+    if static_direct:
+        by_rel: dict = {}
+        for f in static_direct:
+            by_rel.setdefault(f.relationship, []).append(f)
+        target_keys = es[target].select(
+            index_col, *{f.relationship.child_col for f in static_direct}
+        )
+        matrix = matrix.join(target_keys, on=index_col, how="left")
+        for rel, feats in by_rel.items():
+            parent_df = es[rel.parent_name]
+            pti = es.time_index(rel.parent_name)
+            parent_df, cols = _materialize_features(
+                es, rel.parent_name, parent_df,
+                [f.base_feature for f in feats], pti,
+            )
+            sel = parent_df.select(
+                F.col(rel.parent_col).alias(rel.child_col),
+                *[
+                    F.col(c).alias(internal[f.get_name()])
+                    for c, f in zip(cols, feats)
+                ],
+            )
+            matrix = matrix.join(F.broadcast(sel), on=rel.child_col, how="left")
+        matrix = matrix.drop(
+            *{f.relationship.child_col for f in static_direct}
+        )
+
+    for f in dynamic_direct:
+        rel = f.relationship
+        fk_map = es[target].select(index_col, rel.child_col)
+        parent_cutoffs = (
+            base_keys.join(fk_map, on=index_col, how="left")
+            .select(
+                F.col(rel.child_col).alias(rel.parent_col),
+                F.col(CUTOFF_COL).alias("time"),
+            )
+            .distinct()
+        )
+        pm = calculate_feature_matrix(
+            [f.base_feature], es, cutoff_time=parent_cutoffs,
+            training_window=training_window,
+            include_cutoff_time=include_cutoff_time,
+            strategy=strategy,
+        )
+        pm = pm.select(
+            F.col(rel.parent_col).alias(rel.child_col),
+            F.col("time").alias(CUTOFF_COL),
+            pm[f.base_feature.get_name()].alias(internal[f.get_name()]),
+        )
+        matrix = matrix.join(fk_map, on=index_col, how="left")
+        matrix = matrix.join(pm, on=[rel.child_col, CUTOFF_COL], how="left")
+        matrix = matrix.drop(rel.child_col)
+
+    # ---- identity + transform features on the target ----
+    if other_feats:
+        tdf = es[target]
+        ti = es.time_index(target)
+        # full-dataframe (window) transforms: compute over the whole
+        # table in time order first
+        tdf, tcols = _materialize_features(es, target, tdf, other_feats, ti,
+                                           cutoff_frame=base_keys,
+                                           index_col=index_col)
+        sel = tdf.select(
+            index_col,
+            *( [CUTOFF_COL] if CUTOFF_COL in tdf.columns else [] ),
+            *[F.col(c).alias(internal[f.get_name()])
+              for c, f in zip(tcols, other_feats)],
+        )
+        join_keys = [index_col] + (
+            [CUTOFF_COL] if CUTOFF_COL in sel.columns else []
+        )
+        matrix = matrix.join(sel, on=join_keys, how="left")
+
+    # ---- final projection: rename + attach pass columns ----
+    out_cols = [F.col(index_col), F.col(CUTOFF_COL).alias("time")]
+    if pass_cols:
+        matrix = matrix.join(
+            cutoffs.select(
+                index_col, CUTOFF_COL, *pass_cols
+            ),
+            on=[index_col, CUTOFF_COL],
+            how="left",
+        )
+        out_cols += [F.col(c) for c in pass_cols]
+    for f in ordered:
+        out_cols.append(F.col(internal[f.get_name()]).alias(f.get_name()))
+    return matrix.select(*out_cols)
+
+
+# ----------------------------------------------------------------------
+# helpers
+# ----------------------------------------------------------------------
+def _find_es(features):
+    for f in features:
+        es = getattr(f, "es", None)
+        if es is not None:
+            return es
+        for d in f.get_dependencies(deep=True):
+            es = getattr(d, "es", None)
+            if es is not None:
+                return es
+    raise ValueError("no EntitySet found on features")
+
+
+def _build_cutoffs(es, target, index_col, cutoff_time):
+    """Normalize cutoff_time into a DataFrame (index_col, CUTOFF_COL,
+    *pass_cols)."""
+    if isinstance(cutoff_time, DataFrame):
+        cols = cutoff_time.columns
+        inst = index_col if index_col in cols else (
+            "instance_id" if "instance_id" in cols else cols[0]
+        )
+        tcol = "time" if "time" in cols else cols[1]
+        pass_cols = [c for c in cols if c not in (inst, tcol)]
+        df = cutoff_time.select(
+            F.col(inst).alias(index_col),
+            F.col(tcol).cast("timestamp").alias(CUTOFF_COL),
+            *pass_cols,
+        )
+        return df, pass_cols
+    if cutoff_time is None:
+        cutoff_time = _max_time(es)
+    if isinstance(cutoff_time, str):
+        cutoff_time = _dt.datetime.fromisoformat(cutoff_time)
+    df = es[target].select(
+        F.col(index_col), F.lit(cutoff_time).cast("timestamp").alias(CUTOFF_COL)
+    )
+    return df, []
+
+
+def _max_time(es):
+    best = None
+    for name, meta in es.meta.items():
+        if meta.time_index:
+            m = es[name].agg(F.max(meta.time_index)).collect()[0][0]
+            if m is not None and (best is None or m > best):
+                best = m
+    if best is None:
+        raise ValueError("no time index anywhere; pass cutoff_time explicitly")
+    return best
+
+
+def _child_frame(es, path):
+    """DataFrame of the deepest child on the path with the TOP ancestor
+    key attached (denormalized path keys — reference fsc.py:373-431).
+    Returns (df, ancestor_key_col, time_col).
+
+    The mapping chain only ever joins on PARENT indexes (validated
+    unique by add_relationship), never on child indexes — child tables
+    need no unique key for multi-hop aggregation. Intermediate
+    mappings are dimension-sized; Catalyst broadcasts them when small.
+    """
+    child_name = path[-1].child_name
+    df = es[child_name]
+    time_col = es.time_index(child_name)
+    if len(path) == 1:
+        return df, path[0].child_col, time_col
+    key_col = "_ft_ancestor_key"
+    # mapping: (index of the next rel's parent table) -> top ancestor key
+    mapping = None
+    for rel, nxt in zip(path, path[1:]):
+        tbl = es[rel.child_name]  # the intermediate table
+        if mapping is None:
+            mapping = tbl.select(
+                F.col(nxt.parent_col).alias("_ft_link"),
+                F.col(rel.child_col).alias(key_col),
+            )
+        else:
+            mapping = (
+                tbl.select(
+                    F.col(nxt.parent_col).alias("_ft_link_new"),
+                    F.col(rel.child_col).alias("_ft_link"),
+                )
+                .join(mapping, on="_ft_link", how="left")
+                .select(F.col("_ft_link_new").alias("_ft_link"), F.col(key_col))
+            )
+    last = path[-1]
+    df = df.join(
+        mapping,
+        df[last.child_col] == mapping["_ft_link"],
+        "left",
+    ).drop("_ft_link")
+    return df, key_col, time_col
+
+
+def _is_static(feature) -> bool:
+    """True if the feature never looks at cutoffs or child tables —
+    safe to compute once per parent row and join directly."""
+    if isinstance(feature, AggregationFeature):
+        return False
+    prim = getattr(feature, "primitive", None)
+    if prim is not None and getattr(prim, "uses_calc_time", False):
+        return False
+    return all(_is_static(d) for d in feature.get_dependencies())
+
+
+def _materialize_features(es, table, df, feats, time_col,
+                          cutoff_frame=None, index_col=None):
+    """Add one column per feature to df; returns (df, colnames).
+
+    Pure row-wise transforms compile into a single select; window
+    transforms (uses_full_dataframe) compile into Window expressions
+    over (partition?, time) — computed over all rows before any
+    instance filtering. uses_calc_time transforms require the cutoff
+    column: if a cutoff_frame is given, df is joined with it first
+    (adding CUTOFF_COL and possibly duplicating rows per cutoff).
+    """
+    needs_cutoff = any(_uses_calc_time(f) for f in feats)
+    if needs_cutoff:
+        if cutoff_frame is None:
+            raise ValueError("uses_calc_time feature outside cutoff context")
+        # window transforms must be computed before the cutoff join
+        win_feats = [f for f in feats if _uses_full_df(f)]
+        if win_feats:
+            df, _ = _materialize_features(es, table, df, win_feats, time_col)
+        if CUTOFF_COL not in df.columns:
+            df = df.join(cutoff_frame, on=index_col, how="inner")
+
+    ctx = TransformContext(
+        time=F.col(time_col) if time_col else None,
+        cutoff=F.col(CUTOFF_COL) if CUTOFF_COL in df.columns else None,
+        order_cols=[c for c in (time_col, es.index(table)) if c],
+    )
+    out_cols = []
+    new_cols = {}
+
+    def compile_feat(f) -> Column:
+        name = f.get_name()
+        if name in new_cols:
+            return F.col(new_cols[name])
+        if isinstance(f, IdentityFeature):
+            return F.col(f.column)
+        if isinstance(f, GroupByTransformFeature):
+            local = TransformContext(
+                time=ctx.time, cutoff=ctx.cutoff, order_cols=ctx.order_cols,
+                partition_cols=[f.groupby.column],
+            )
+            inputs = [compile_feat(b) for b in f.base_features]
+            return f.primitive.expr(inputs, local)
+        if isinstance(f, TransformFeature):
+            inputs = [compile_feat(b) for b in f.base_features]
+            return f.primitive.expr(inputs, ctx)
+        raise ValueError(f"cannot materialize {f!r} on table {table}")
+
+    for f in feats:
+        c = compile_feat(f)
+        global _MAT_COUNTER
+        _MAT_COUNTER += 1
+        cname = f"_ft_m{_MAT_COUNTER}"
+        df = df.withColumn(cname, c)
+        new_cols[f.get_name()] = cname
+        out_cols.append(cname)
+    return df, out_cols
+
+
+_MAT_COUNTER = 0
+
+
+def _uses_calc_time(f) -> bool:
+    prim = getattr(f, "primitive", None)
+    if prim is not None and getattr(prim, "uses_calc_time", False):
+        return True
+    return any(_uses_calc_time(d) for d in f.get_dependencies())
+
+
+def _uses_full_df(f) -> bool:
+    prim = getattr(f, "primitive", None)
+    if prim is not None and getattr(prim, "uses_full_dataframe", False):
+        return True
+    return any(_uses_full_df(d) for d in f.get_dependencies())

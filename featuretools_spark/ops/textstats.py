@@ -1,0 +1,105 @@
+"""Text analysis for training-data pipelines: token counting,
+language ID, quality scoring, fingerprinting. All pure Spark
+expressions — regex + array functions, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish pre-tokenizer regex (GPT-2 style, simplified to what Java
+# regex supports): contractions, word chunks, number chunks,
+# punctuation chunks.
+BPE_ISH = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "sich"],
+    "fr": ["le", "la", "les", "et", "de", "est", "que", "pour", "dans", "une"],
+    "es": ["el", "la", "los", "que", "de", "es", "en", "por", "con", "una"],
+}
+
+
+def token_count(text_col, mode: str = "whitespace"):
+    """Token count: whitespace tokens or a BPE-ish regex pre-tokenizer."""
+    if mode == "whitespace":
+        t = F.trim(text_col)
+        return F.when(t == "", 0).otherwise(F.size(F.split(t, r"\s+")))
+    return F.regexp_count(text_col, F.lit(BPE_ISH))
+
+
+def words(text_col):
+    return F.split(F.lower(F.trim(text_col)), r"\s+")
+
+
+def language_id(text_col):
+    """N-gram/stopword-heuristic language ID: score each language by
+    its stopword hit count over lowercased whitespace tokens; emit the
+    argmax (ties broken by language code order), 'und' if no hits."""
+    w = words(text_col)
+    scores = [
+        (lang, F.size(F.filter(w, lambda x: x.isin(_STOPWORDS[lang]))))
+        for lang in sorted(_STOPWORDS)
+    ]
+    best_score = F.greatest(*[s for _, s in scores])
+    result = F.lit("und")
+    for lang, s in reversed(scores):  # earlier langs win ties
+        result = F.when((s == best_score) & (best_score > 0), lang).otherwise(result)
+    return result
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Append document-quality signals: length, word stats,
+    punctuation/digit/upper ratios, stopword ratio, quality score."""
+    t = F.col(text_col)
+    w = words(t)
+    n_chars = F.length(t)
+    n_words = F.when(F.trim(t) == "", 0).otherwise(F.size(w))
+    mean_wl = F.when(
+        n_words > 0,
+        F.aggregate(F.transform(w, lambda x: F.length(x)), F.lit(0),
+                    lambda a, x: a + x).cast("double") / n_words,
+    )
+    punct = F.regexp_count(t, F.lit(r"[!\"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~]"))
+    digits = F.regexp_count(t, F.lit(r"[0-9]"))
+    uppers = F.regexp_count(t, F.lit(r"[A-Z]"))
+    stop_hits = F.size(F.filter(w, lambda x: x.isin(_STOPWORDS["en"])))
+    out = (
+        df.withColumn("n_chars_calc", n_chars)
+        .withColumn("n_words", n_words)
+        .withColumn("mean_word_len", F.round(mean_wl, 4))
+        .withColumn("punct_ratio",
+                    F.round(punct / F.greatest(n_chars, F.lit(1)), 4))
+        .withColumn("digit_ratio",
+                    F.round(digits / F.greatest(n_chars, F.lit(1)), 4))
+        .withColumn("upper_ratio",
+                    F.round(uppers / F.greatest(n_chars, F.lit(1)), 4))
+        .withColumn("stopword_ratio",
+                    F.round(stop_hits / F.greatest(n_words, F.lit(1)).cast("double"), 4))
+    )
+    # simple composite quality score in [0,1]: reasonable length,
+    # moderate punctuation, some stopwords
+    score = (
+        F.least(F.col("n_words") / F.lit(50.0), F.lit(1.0)) * 0.4
+        + (1.0 - F.least(F.col("punct_ratio") * 5.0, F.lit(1.0))) * 0.3
+        + F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0)) * 0.3
+    )
+    return out.withColumn("quality_score", F.round(score, 4))
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str,
+                k: int = 8) -> DataFrame:
+    """Document fingerprint: xxhash64 of the normalized text (exact),
+    plus a winnowed min-hash of k-gram rolling hashes (robust)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    t = F.trim(norm)
+    n = F.greatest(F.length(t) - (k - 1), F.lit(1))
+    grams = F.transform(F.sequence(F.lit(1), n), lambda i: t.substr(i, F.lit(k)))
+    rolling = F.transform(grams, lambda g: F.xxhash64(g))
+    return df.select(
+        F.col(id_col),
+        F.xxhash64(t).alias("exact_fp"),
+        F.array_min(rolling).alias("min_gram_fp"),
+        F.array_max(rolling).alias("max_gram_fp"),
+    )
