@@ -4,11 +4,19 @@ Every query below runs through the featuretools_spark engine
 (EntitySet → features → calculate_feature_matrix / sessionize), and
 each has an equivalent ANSI-SQL oracle for DuckDB.
 
-Conventions for exact oracle matching:
-- doubles are rounded to 4 decimals on BOTH sides
-- timestamps in outputs are converted to epoch microseconds (bigint):
-  Spark `unix_micros(cast(ts as timestamp))` == DuckDB `epoch_us(ts)`
-- every computed column is aliased identically on both sides
+Conventions for exact oracle matching (bit-identical doubles before
+rounding — the driver hashes values):
+- money/value columns are quantized to integer cents
+  (floor(x*100 + 0.5)) BEFORE aggregation on BOTH sides: integer sums
+  are exact and order-independent, so sum/mean are bit-identical
+  across engines; outputs are scaled back /100.
+- doubles are rounded to 4 decimals with floor(x*1e4 + 0.5)/1e4 —
+  pure IEEE ops, identical in Spark and DuckDB (Spark's F.round goes
+  through BigDecimal HALF_UP of the decimal string and disagrees on
+  half-boundaries).
+- timestamps in outputs become epoch microseconds (bigint):
+  Spark `unix_micros(cast(ts as timestamp))` == DuckDB `epoch_us(ts)`.
+- every computed column is aliased identically on both sides.
 """
 
 from __future__ import annotations
@@ -21,17 +29,23 @@ from pyspark.sql import functions as F
 
 import featuretools_spark as fts
 from featuretools_spark.features import IdentityFeature, AggregationFeature
-from featuretools_spark.sessionize import sessionize, session_stats
+from featuretools_spark.sessionize import session_stats
 
 EV_CUTOFF = dt.datetime(2024, 1, 20)
 TPCH_CUTOFF = dt.datetime(1998, 1, 1)
 
 
+def _cents(col):
+    return F.floor(F.col(col) * 100 + F.lit(0.5)).cast("long")
+
+
 # ----------------------------------------------------------------------
-# EntitySet builders
+# EntitySet builders (value/money columns pre-quantized to cents)
 # ----------------------------------------------------------------------
 def _es_events(spark: SparkSession, sf_dir: str) -> fts.EntitySet:
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "value", _cents("value")
+    )
     users = events.select("user_id").distinct()
     es = fts.EntitySet("events_es")
     es.add_dataframe("users", users, index="user_id")
@@ -41,10 +55,16 @@ def _es_events(spark: SparkSession, sf_dir: str) -> fts.EntitySet:
 
 
 def _es_tpch(spark: SparkSession, sf_dir: str) -> fts.EntitySet:
-    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
-        "_li_id", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").withColumn(
+        "c_acctbal", _cents("c_acctbal")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "o_totalprice", _cents("o_totalprice")
+    )
+    lineitem = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .withColumn("l_extendedprice", _cents("l_extendedprice"))
+        .withColumn("_li_id", F.monotonically_increasing_id())
     )
     es = fts.EntitySet("tpch_es")
     es.add_dataframe("customer", customer, index="c_custkey")
@@ -58,15 +78,18 @@ def _es_tpch(spark: SparkSession, sf_dir: str) -> fts.EntitySet:
 
 
 def _r4(df: DataFrame, cols: list[str]) -> DataFrame:
-    """Round to 4 decimals via floor(x*1e4 + 0.5)/1e4 — pure IEEE ops,
-    bit-identical in Spark and DuckDB (F.round goes through BigDecimal
-    HALF_UP of the decimal string, which disagrees with the oracle on
-    exact half-boundaries)."""
+    """floor(x*1e4 + 0.5)/1e4 — IEEE-identical rounding in both engines."""
     for c in cols:
         x = F.col(c).cast("double")
         df = df.withColumn(
             c, F.floor(x * 10000.0 + F.lit(0.5)).cast("double") / 10000.0
         )
+    return df
+
+
+def _scale(df: DataFrame, cols: list[str], by: float = 100.0) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.col(c).cast("double") / by)
     return df
 
 
@@ -76,7 +99,6 @@ def _q(name: str):
 
 
 def _sel(fm: DataFrame, index_col, renames: dict) -> DataFrame:
-    """Select index + renamed feature columns from a feature matrix."""
     cols = [F.col(index_col)]
     for feat_name, out in renames.items():
         cols.append(_q(feat_name).alias(out))
@@ -111,7 +133,10 @@ def q_agg_basic(spark, sf_dir):
         "VARIANCE(events.value)": "var_v",
         "MEDIAN(events.value)": "med_v",
     })
-    return _r4(out, ["sum_v", "mean_v", "min_v", "max_v", "std_v", "var_v", "med_v"])
+    out = _scale(out, ["sum_v", "mean_v", "min_v", "max_v", "std_v", "med_v"])
+    out = _scale(out, ["var_v"], 10000.0)
+    return _r4(out, ["sum_v", "mean_v", "min_v", "max_v", "std_v", "var_v",
+                     "med_v"])
 
 
 def q_agg_time(spark, sf_dir):
@@ -171,6 +196,7 @@ def q_where_clause(spark, sf_dir):
         "COUNT(events WHERE event_type = click)": "cnt_click",
         "MEAN(events.value WHERE event_type = click)": "mean_click",
     })
+    out = _scale(out, ["sum_click", "mean_click"])
     return _r4(out, ["sum_click", "mean_click"])
 
 
@@ -189,6 +215,7 @@ def q_training_window(spark, sf_dir):
         "COUNT(events)": "cnt_5d",
         "SUM(events.value)": "sum_5d",
     })
+    out = _scale(out, ["sum_5d"])
     return _r4(out, ["sum_5d"])
 
 
@@ -217,6 +244,7 @@ def q_per_row_cutoffs(spark, sf_dir):
         _q("SUM(events.value)").alias("sum_v"),
         _q("MAX(events.value)").alias("max_v"),
     )
+    out = _scale(out, ["sum_v", "max_v"])
     return _r4(out, ["sum_v", "max_v"])
 
 
@@ -226,6 +254,7 @@ def q_trend(spark, sf_dir):
     feats = [AggregationFeature(v, "users", "trend", es=es)]
     fm = fts.calculate_feature_matrix(feats, es, cutoff_time=EV_CUTOFF)
     out = _sel(fm, "user_id", {"TREND(events.value)": "trend_v"})
+    out = _scale(out, ["trend_v"])
     return _r4(out, ["trend_v"])
 
 
@@ -241,6 +270,7 @@ def q_first_last(spark, sf_dir):
         "FIRST(events.value)": "first_v",
         "LAST(events.value)": "last_v",
     })
+    out = _scale(out, ["first_v", "last_v"])
     return _r4(out, ["first_v", "last_v"])
 
 
@@ -260,6 +290,7 @@ def q_multihop(spark, sf_dir):
         "SUM(lineitem.l_extendedprice)": "sum_price",
         "MEAN(lineitem.l_extendedprice)": "mean_price",
     })
+    out = _scale(out, ["sum_price", "mean_price"])
     return _r4(out, ["sum_price", "mean_price"])
 
 
@@ -277,37 +308,44 @@ def q_direct(spark, sf_dir):
         "customer.c_acctbal": "cust_bal",
         "customer.c_mktsegment": "cust_seg",
     })
+    out = _scale(out, ["cust_bal"])
     return _r4(out, ["cust_bal"])
 
 
 def q_sessionize(spark, sf_dir):
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "value", _cents("value")
+    )
     ss = session_stats(events, "user_id", "ts", gap="30 minutes",
                        value_col="value")
     out = ss.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_sessions"),
-        (F.floor(F.avg("duration_s") * 10000.0 + F.lit(0.5)).cast("double") / 10000.0).alias("avg_dur"),
-        (F.floor(F.max("sum_value") * 10000.0 + F.lit(0.5)).cast("double") / 10000.0).alias("max_sess_value"),
+        F.avg("duration_s").alias("avg_dur"),
+        (F.max("sum_value").cast("double") / 100.0).alias("max_sess_value"),
         F.max("n_events").alias("max_sess_events"),
     )
-    return out
+    return _r4(out, ["avg_dur", "max_sess_value"])
 
 
 def q_window_transforms(spark, sf_dir):
     """event-grain window transforms: lag / diff / cum_sum / rolling mean
-    partitioned per user in time order."""
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per user in time order (deterministic order → exact parity)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "value", _cents("value")
+    )
     from pyspark.sql import Window as W
 
-    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(),
+                                         F.col("event_id").asc())
     cum = w.rowsBetween(W.unboundedPreceding, 0)
     roll3 = w.rowsBetween(-2, 0)
     out = events.select(
         "event_id",
-        F.lag("value", 1).over(w).alias("lag_v"),
-        (F.col("value") - F.lag("value", 1).over(w)).alias("diff_v"),
-        F.sum("value").over(cum).alias("cum_v"),
-        F.avg("value").over(roll3).alias("roll3_v"),
+        (F.lag("value", 1).over(w).cast("double") / 100.0).alias("lag_v"),
+        ((F.col("value") - F.lag("value", 1).over(w)).cast("double") / 100.0
+         ).alias("diff_v"),
+        (F.sum("value").over(cum).cast("double") / 100.0).alias("cum_v"),
+        (F.avg("value").over(roll3).cast("double") / 100.0).alias("roll3_v"),
     )
     return _r4(out, ["lag_v", "diff_v", "cum_v", "roll3_v"])
 
@@ -330,7 +368,197 @@ def q_dfs_depth1(spark, sf_dir):
         "MIN(events.value)": "min_v",
         "NUM_UNIQUE(events.event_type)": "nu_et",
     })
+    out = _scale(out, ["sum_v", "mean_v", "std_v", "max_v", "min_v"])
     return _r4(out, ["sum_v", "mean_v", "std_v", "max_v", "min_v"])
+
+
+def q_use_previous_obs(spark, sf_dir):
+    """observation-count window: mean over the last 3 events per user."""
+    es = _es_events(spark, sf_dir)
+    v = IdentityFeature(es, "events", "value")
+    feats = [
+        AggregationFeature(v, "users", "mean", es=es, use_previous="3 o"),
+        AggregationFeature(v, "users", "sum", es=es, use_previous="3 o"),
+    ]
+    fm = fts.calculate_feature_matrix(feats, es, cutoff_time=EV_CUTOFF)
+    out = _sel(fm, "user_id", {
+        "MEAN(events.value, Last 3 Observations)": "mean_3o",
+        "SUM(events.value, Last 3 Observations)": "sum_3o",
+    })
+    out = _scale(out, ["mean_3o", "sum_3o"])
+    return _r4(out, ["mean_3o", "sum_3o"])
+
+
+def q_exclude_cutoff(spark, sf_dir):
+    """include_cutoff_time=False with each user's cutoff exactly at its
+    last event time: that event must be excluded."""
+    es = _es_events(spark, sf_dir)
+    cuts = es["events"].groupBy("user_id").agg(F.max("ts").alias("time"))
+    eid = IdentityFeature(es, "events", "event_id")
+    v = IdentityFeature(es, "events", "value")
+    feats = [
+        AggregationFeature(eid, "users", "count", es=es),
+        AggregationFeature(v, "users", "sum", es=es),
+    ]
+    fm = fts.calculate_feature_matrix(
+        feats, es, cutoff_time=cuts, include_cutoff_time=False
+    )
+    out = fm.select(
+        F.col("user_id"),
+        F.unix_micros(F.col("time").cast("timestamp")).alias("cutoff_us"),
+        _q("COUNT(events)").alias("cnt_excl"),
+        _q("SUM(events.value)").alias("sum_excl"),
+    )
+    out = _scale(out, ["sum_excl"])
+    return _r4(out, ["sum_excl"])
+
+
+def q_engine_transforms(spark, sf_dir):
+    """event-grain transforms THROUGH the engine: lag + per-event_type
+    cumulative sum (GroupByTransformFeature)."""
+    from featuretools_spark.features import (
+        GroupByTransformFeature, TransformFeature,
+    )
+
+    es = _es_events(spark, sf_dir)
+    v = IdentityFeature(es, "events", "value")
+    et = IdentityFeature(es, "events", "event_type")
+    lag = TransformFeature("lag", [v])
+    cum_by_type = GroupByTransformFeature("cum_sum", [v], groupby=et)
+    fm = fts.calculate_feature_matrix(
+        [lag, cum_by_type], es, cutoff_time=dt.datetime(2024, 3, 1)
+    )
+    out = fm.select(
+        F.col("event_id"),
+        _q("LAG(value)").alias("lag_v"),
+        _q("CUM_SUM(value) by event_type").alias("cum_by_type"),
+    )
+    out = _scale(out, ["lag_v", "cum_by_type"])
+    return _r4(out, ["lag_v", "cum_by_type"])
+
+
+def q_lti(spark, sf_dir):
+    """last-time-index: customer LTI = max event time of the customer
+    row or any descendant (orders, lineitems)."""
+    es = _es_tpch(spark, sf_dir)
+    es.add_last_time_indexes()
+    lti = es["customer"].select(
+        "c_custkey",
+        F.unix_micros(F.col("_ft_last_time").cast("timestamp")).alias("lti_us"),
+    )
+    return lti
+
+
+def q_n_most_common(spark, sf_dir):
+    """top-2 most common event types per user (NMostCommon primitive),
+    emitted as a comma-joined string for stable comparison."""
+    from featuretools_spark.primitives import get_aggregation_primitive
+
+    es = _es_events(spark, sf_dir)
+    et = IdentityFeature(es, "events", "event_type")
+    prim = get_aggregation_primitive("n_most_common")
+    prim.n = 2
+    feats = [AggregationFeature(et, "users", prim, es=es)]
+    fm = fts.calculate_feature_matrix(feats, es, cutoff_time=EV_CUTOFF)
+    out = fm.select(
+        F.col("user_id"),
+        F.concat_ws(",", _q("N_MOST_COMMON(events.event_type)")).alias("top2"),
+    )
+    return out
+
+
+def q_dedup_exact(spark, sf_dir):
+    """exact duplicate detection on documents.text."""
+    from featuretools_spark.ops.dedup import exact_duplicates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = exact_duplicates(docs, ["text"], "doc_id")
+    return out.select(
+        "doc_id", "dup_count", F.col("is_duplicate").cast("int").alias("is_dup")
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    """document quality signals (length / words / ratios / score)."""
+    from featuretools_spark.ops.textstats import quality_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = quality_features(docs, "text")
+    return out.select(
+        "doc_id", "n_chars_calc", "n_words", "mean_word_len",
+        "punct_ratio", "stopword_ratio",
+    )
+
+
+def q_token_count(spark, sf_dir):
+    """token counting: whitespace + BPE-ish regex pre-tokenizer."""
+    from featuretools_spark.ops.textstats import token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text"), "whitespace").alias("ws_tokens"),
+        token_count(F.col("text"), "bpe").alias("bpe_tokens"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    """stopword-heuristic language ID per document."""
+    from featuretools_spark.ops.textstats import language_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", language_id(F.col("text")).alias("lang_pred"))
+
+
+def q_ann_brute_topk(spark, sf_dir):
+    """exact cosine top-5 neighbours for the first 5 vectors."""
+    from featuretools_spark.ops.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = brute_force_topk(
+        emb.filter(F.col("vec_id") >= 5), queries,
+        id_col="vec_id", vec_col="embedding", k=5,
+    )
+    return _r4(out.select("query_id", "vec_id", "score", "rank"), ["score"])
+
+
+def q_minhash_dedup(spark, sf_dir):
+    """MinHash-LSH near-dup candidate pairs (Spark-hash-specific — no
+    SQL oracle; driver records rows-only)."""
+    from featuretools_spark.ops.dedup import minhash_duplicates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_duplicates(docs, "doc_id", "text", num_perm=32,
+                              bands=8, threshold=0.5)
+
+
+def q_simhash_dedup(spark, sf_dir):
+    """SimHash near-dup pairs (xxhash64-specific — rows-only check)."""
+    from featuretools_spark.ops.dedup import simhash_near_duplicates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_near_duplicates(docs, "doc_id", "text", max_hamming=6)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """exact 5-gram Jaccard of each doc with the next doc id —
+    a linear-chain verification of the shingle machinery."""
+    from featuretools_spark.ops.dedup import shingles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = docs.select("doc_id", shingles(F.col("text"), 5).alias("sh"))
+    nxt = sh.select(
+        (F.col("doc_id") - 1).alias("doc_id"), F.col("sh").alias("sh_next")
+    )
+    j = sh.join(nxt, "doc_id")
+    inter = F.size(F.array_intersect("sh", "sh_next")).cast("double")
+    union = F.size(F.array_union("sh", "sh_next")).cast("double")
+    return _r4(
+        j.select("doc_id", (inter / union).alias("jaccard")), ["jaccard"]
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -353,6 +581,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "window_transforms": q_window_transforms,
         "dfs_depth1": q_dfs_depth1,
+        "use_previous_obs": q_use_previous_obs,
+        "exclude_cutoff": q_exclude_cutoff,
+        "engine_transforms": q_engine_transforms,
+        "lti": q_lti,
+        "n_most_common": q_n_most_common,
+        "dedup_exact": q_dedup_exact,
+        "text_quality": q_text_quality,
+        "token_count": q_token_count,
+        "lang_id": q_lang_id,
+        "ann_brute_topk": q_ann_brute_topk,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_dedup": q_simhash_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
     }
 
 
@@ -362,6 +603,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _EV = "TIMESTAMP '2024-01-20 00:00:00'"
 _TP = "TIMESTAMP '1998-01-01 00:00:00'"
 _U = "(SELECT DISTINCT user_id FROM events)"
+# events with value quantized to cents (matches the Spark-side ES)
+_EC = ("(SELECT * REPLACE (CAST(floor(value*100 + 0.5) AS BIGINT) AS value) "
+       "FROM events)")
+
+
+
+def _sqlstr(pat: str) -> str:
+    """Python string -> quoted SQL string literal."""
+    return "'" + pat.replace("'", "''") + "'"
+
+
+_BPE_SQL = _sqlstr(
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+"
+)
+_PUNCT_SQL = _sqlstr(
+    "[!\"#$%&'()*+,\\-./:;<=>?@\\[\\\\\\]^_`{|}~]"
+)
+_EN_STOP_SQL = "('the','and','of','to','in','is','that','for','with','was')"
+_MWL_EXPR = (
+    "CASE WHEN n_words > 0 THEN list_aggregate(list_transform("
+    "string_split_regex(trim(text), '" + chr(92) + "s+'), x -> length(x)), "
+    "'sum')::DOUBLE / n_words END"
+)
+_PUNCT_EXPR = (
+    f"len(regexp_extract_all(text, {_PUNCT_SQL}))::DOUBLE "
+    "/ greatest(n_chars_calc, 1)"
+)
+_STOP_EXPR = (
+    f"len(list_filter(ww, x -> x IN {_EN_STOP_SQL}))::DOUBLE "
+    "/ greatest(n_words, 1)"
+)
+
+
+def _R(e: str) -> str:
+    return f"floor(({e})*10000 + 0.5)/10000"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -369,26 +645,23 @@ def oracle_sql() -> dict[str, str]:
         "agg_basic": f"""
             SELECT u.user_id,
                    count(e.event_id) AS cnt,
-                   floor((coalesce(sum(e.value), 0))*10000 + 0.5)/10000 AS sum_v,
-                   floor((avg(e.value))*10000 + 0.5)/10000 AS mean_v,
-                   floor((min(e.value))*10000 + 0.5)/10000 AS min_v,
-                   floor((max(e.value))*10000 + 0.5)/10000 AS max_v,
-                   floor((stddev_pop(e.value))*10000 + 0.5)/10000 AS std_v,
-                   floor((var_pop(e.value))*10000 + 0.5)/10000 AS var_v,
-                   floor((median(e.value))*10000 + 0.5)/10000 AS med_v
+                   {_R('coalesce(sum(e.value), 0)/100.0')} AS sum_v,
+                   {_R('avg(e.value)/100.0')} AS mean_v,
+                   {_R('min(e.value)/100.0')} AS min_v,
+                   {_R('max(e.value)/100.0')} AS max_v,
+                   {_R('stddev_pop(e.value)/100.0')} AS std_v,
+                   {_R('var_pop(e.value)/10000.0')} AS var_v,
+                   {_R('median(e.value)/100.0')} AS med_v
             FROM {_U} u
-            LEFT JOIN events e ON e.user_id = u.user_id AND e.ts <= {_EV}
+            LEFT JOIN {_EC} e ON e.user_id = u.user_id AND e.ts <= {_EV}
             GROUP BY u.user_id
         """,
         "agg_time": f"""
             SELECT u.user_id,
-                   floor(((epoch_us({_EV}) - epoch_us(max(e.ts))) / 1e6)*10000 + 0.5)/10000 AS tsl,
-                   floor(((epoch_us({_EV}) - epoch_us(min(e.ts))) / 1e6)*10000 + 0.5)/10000 AS tsf,
-                   floor((CASE WHEN count(e.ts) > 1 THEN
-                       (epoch_us(max(e.ts)) - epoch_us(min(e.ts))) / 1e6
-                       / (count(e.ts) - 1) END)*10000 + 0.5)/10000 AS atb,
-                   floor(((epoch_us(max(e.ts)) - epoch_us(min(e.ts))) / 1e6)*10000 + 0.5)/10000
-                       AS fltd
+                   {_R(f'(epoch_us({_EV}) - epoch_us(max(e.ts))) / 1e6')} AS tsl,
+                   {_R(f'(epoch_us({_EV}) - epoch_us(min(e.ts))) / 1e6')} AS tsf,
+                   {_R('CASE WHEN count(e.ts) > 1 THEN (epoch_us(max(e.ts)) - epoch_us(min(e.ts))) / 1e6 / (count(e.ts) - 1) END')} AS atb,
+                   {_R('(epoch_us(max(e.ts)) - epoch_us(min(e.ts))) / 1e6')} AS fltd
             FROM {_U} u
             LEFT JOIN events e ON e.user_id = u.user_id AND e.ts <= {_EV}
             GROUP BY u.user_id
@@ -412,11 +685,9 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT u.user_id,
                    count(DISTINCT e.event_type) AS n_uniq,
-                   floor((count(DISTINCT e.event_type) * 1.0
-                         / count(e.event_type))*10000 + 0.5)/10000 AS pct_uniq,
-                   floor((count(e.event_type) * 1.0
-                         / count(DISTINCT e.event_type))*10000 + 0.5)/10000 AS avg_per_uniq,
-                   floor((any_value(ent.h))*10000 + 0.5)/10000 AS ent,
+                   {_R('count(DISTINCT e.event_type) * 1.0 / count(e.event_type)')} AS pct_uniq,
+                   {_R('count(e.event_type) * 1.0 / count(DISTINCT e.event_type)')} AS avg_per_uniq,
+                   {_R('any_value(ent.h)')} AS ent,
                    any_value(md.mode_et) AS mode_et
             FROM {_U} u
             LEFT JOIN f e ON e.user_id = u.user_id
@@ -426,22 +697,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "where_clause": f"""
             SELECT u.user_id,
-                   floor((coalesce(sum(CASE WHEN e.event_type = 'click'
-                                      THEN e.value END), 0))*10000 + 0.5)/10000 AS sum_click,
+                   {_R("coalesce(sum(CASE WHEN e.event_type = 'click' THEN e.value END), 0)/100.0")} AS sum_click,
                    count(CASE WHEN e.event_type = 'click' THEN 1 END)
                        AS cnt_click,
-                   floor((avg(CASE WHEN e.event_type = 'click'
-                             THEN e.value END))*10000 + 0.5)/10000 AS mean_click
+                   {_R("avg(CASE WHEN e.event_type = 'click' THEN e.value END)/100.0")} AS mean_click
             FROM {_U} u
-            LEFT JOIN events e ON e.user_id = u.user_id AND e.ts <= {_EV}
+            LEFT JOIN {_EC} e ON e.user_id = u.user_id AND e.ts <= {_EV}
             GROUP BY u.user_id
         """,
         "training_window": f"""
             SELECT u.user_id,
                    count(e.event_id) AS cnt_5d,
-                   floor((coalesce(sum(e.value), 0))*10000 + 0.5)/10000 AS sum_5d
+                   {_R('coalesce(sum(e.value), 0)/100.0')} AS sum_5d
             FROM {_U} u
-            LEFT JOIN events e ON e.user_id = u.user_id
+            LEFT JOIN {_EC} e ON e.user_id = u.user_id
                 AND e.ts <= {_EV}
                 AND e.ts > {_EV} - INTERVAL 5 DAY
             GROUP BY u.user_id
@@ -455,56 +724,58 @@ def oracle_sql() -> dict[str, str]:
             SELECT cu.user_id,
                    epoch_us(cu.t) AS cutoff_us,
                    count(e.event_id) AS cnt,
-                   floor((coalesce(sum(e.value), 0))*10000 + 0.5)/10000 AS sum_v,
-                   floor((max(e.value))*10000 + 0.5)/10000 AS max_v
+                   {_R('coalesce(sum(e.value), 0)/100.0')} AS sum_v,
+                   {_R('max(e.value)/100.0')} AS max_v
             FROM cuts cu
-            LEFT JOIN events e ON e.user_id = cu.user_id AND e.ts <= cu.t
+            LEFT JOIN {_EC} e ON e.user_id = cu.user_id AND e.ts <= cu.t
             GROUP BY cu.user_id, cu.t
         """,
         "trend": f"""
             SELECT u.user_id,
-                   floor((CASE WHEN count(e.value) >= 2
-                              AND var_pop(epoch_us(e.ts) / 86400e6) > 0
-                         THEN covar_pop(epoch_us(e.ts) / 86400e6, e.value)
-                              / var_pop(epoch_us(e.ts) / 86400e6) END)*10000 + 0.5)/10000
-                       AS trend_v
+                   {_R('CASE WHEN count(e.value) >= 2 AND var_pop(epoch_us(e.ts) / 86400e6) > 0 THEN covar_pop(epoch_us(e.ts) / 86400e6, e.value) / var_pop(epoch_us(e.ts) / 86400e6) END / 100.0')} AS trend_v
             FROM {_U} u
-            LEFT JOIN events e ON e.user_id = u.user_id AND e.ts <= {_EV}
+            LEFT JOIN {_EC} e ON e.user_id = u.user_id AND e.ts <= {_EV}
             GROUP BY u.user_id
         """,
         "first_last": f"""
             SELECT u.user_id,
-                   floor((arg_min(e.value, e.ts))*10000 + 0.5)/10000 AS first_v,
-                   floor((arg_max(e.value, e.ts))*10000 + 0.5)/10000 AS last_v
+                   {_R('arg_min(e.value, e.ts)/100.0')} AS first_v,
+                   {_R('arg_max(e.value, e.ts)/100.0')} AS last_v
             FROM {_U} u
-            LEFT JOIN events e ON e.user_id = u.user_id AND e.ts <= {_EV}
+            LEFT JOIN {_EC} e ON e.user_id = u.user_id AND e.ts <= {_EV}
             GROUP BY u.user_id
         """,
         "multihop": f"""
+            WITH lc AS (
+                SELECT * REPLACE (CAST(floor(l_extendedprice*100 + 0.5)
+                                  AS BIGINT) AS l_extendedprice)
+                FROM lineitem
+            )
             SELECT c.c_custkey,
                    count(l.l_orderkey) AS n_li,
-                   floor((coalesce(sum(l.l_extendedprice), 0))*10000 + 0.5)/10000 AS sum_price,
-                   floor((avg(l.l_extendedprice))*10000 + 0.5)/10000 AS mean_price
+                   {_R('coalesce(sum(l.l_extendedprice), 0)/100.0')} AS sum_price,
+                   {_R('avg(l.l_extendedprice)/100.0')} AS mean_price
             FROM customer c
             LEFT JOIN orders o ON o.o_custkey = c.c_custkey
-            LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            LEFT JOIN lc l ON l.l_orderkey = o.o_orderkey
                 AND l.l_shipdate <= {_TP}
             GROUP BY c.c_custkey
         """,
-        "direct": """
+        "direct": f"""
             SELECT o.o_orderkey,
-                   floor((c.c_acctbal)*10000 + 0.5)/10000 AS cust_bal,
+                   {_R('CAST(floor(c.c_acctbal*100 + 0.5) AS BIGINT)/100.0')} AS cust_bal,
                    c.c_mktsegment AS cust_seg
             FROM orders o
             LEFT JOIN customer c ON c.c_custkey = o.o_custkey
         """,
-        "sessionize": """
-            WITH o AS (
+        "sessionize": f"""
+            WITH ec AS (SELECT * FROM {_EC}),
+            o AS (
                 SELECT user_id, ts, value,
                        CASE WHEN lag(ts) OVER w IS NULL
                             OR (epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1e6
                                > 1800 THEN 1 ELSE 0 END AS new_s
-                FROM events
+                FROM ec
                 WINDOW w AS (PARTITION BY user_id ORDER BY ts)
             ), s AS (
                 SELECT user_id, ts, value,
@@ -519,36 +790,185 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT user_id,
                    count(*) AS n_sessions,
-                   floor((avg(dur))*10000 + 0.5)/10000 AS avg_dur,
-                   floor((max(sv))*10000 + 0.5)/10000 AS max_sess_value,
+                   {_R('avg(dur)')} AS avg_dur,
+                   {_R('max(sv)/100.0')} AS max_sess_value,
                    max(n_ev) AS max_sess_events
             FROM per_sess GROUP BY user_id
         """,
-        "window_transforms": """
+        "window_transforms": f"""
+            WITH ec AS (SELECT * FROM {_EC})
             SELECT event_id,
-                   floor((lag(value, 1) OVER w)*10000 + 0.5)/10000 AS lag_v,
-                   floor((value - lag(value, 1) OVER w)*10000 + 0.5)/10000 AS diff_v,
-                   floor((sum(value) OVER (PARTITION BY user_id
-                        ORDER BY ts, event_id
-                        ROWS UNBOUNDED PRECEDING))*10000 + 0.5)/10000 AS cum_v,
-                   floor((avg(value) OVER (PARTITION BY user_id
-                        ORDER BY ts, event_id
-                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))*10000 + 0.5)/10000
-                       AS roll3_v
-            FROM events
+                   {_R('(lag(value, 1) OVER w)/100.0')} AS lag_v,
+                   {_R('(value - lag(value, 1) OVER w)/100.0')} AS diff_v,
+                   {_R('(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING))/100.0')} AS cum_v,
+                   {_R('(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))/100.0')} AS roll3_v
+            FROM ec
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "dfs_depth1": f"""
             SELECT u.user_id,
                    count(e.event_id) AS cnt,
-                   floor((coalesce(sum(e.value), 0))*10000 + 0.5)/10000 AS sum_v,
-                   floor((avg(e.value))*10000 + 0.5)/10000 AS mean_v,
-                   floor((stddev_pop(e.value))*10000 + 0.5)/10000 AS std_v,
-                   floor((max(e.value))*10000 + 0.5)/10000 AS max_v,
-                   floor((min(e.value))*10000 + 0.5)/10000 AS min_v,
+                   {_R('coalesce(sum(e.value), 0)/100.0')} AS sum_v,
+                   {_R('avg(e.value)/100.0')} AS mean_v,
+                   {_R('stddev_pop(e.value)/100.0')} AS std_v,
+                   {_R('max(e.value)/100.0')} AS max_v,
+                   {_R('min(e.value)/100.0')} AS min_v,
                    count(DISTINCT e.event_type) AS nu_et
             FROM {_U} u
-            LEFT JOIN events e ON e.user_id = u.user_id AND e.ts <= {_EV}
+            LEFT JOIN {_EC} e ON e.user_id = u.user_id AND e.ts <= {_EV}
             GROUP BY u.user_id
+        """,
+        "use_previous_obs": f"""
+            WITH r AS (
+                SELECT user_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts DESC) AS rn
+                FROM {_EC} e WHERE ts <= {_EV}
+            )
+            SELECT u.user_id,
+                   {_R('avg(r.value)/100.0')} AS mean_3o,
+                   {_R('coalesce(sum(r.value), 0)/100.0')} AS sum_3o
+            FROM {_U} u
+            LEFT JOIN r ON r.user_id = u.user_id AND r.rn <= 3
+            GROUP BY u.user_id
+        """,
+        "exclude_cutoff": f"""
+            WITH cuts AS (
+                SELECT user_id, max(ts) AS t FROM events GROUP BY user_id
+            )
+            SELECT c.user_id,
+                   epoch_us(c.t) AS cutoff_us,
+                   count(e.event_id) AS cnt_excl,
+                   {_R('coalesce(sum(e.value), 0)/100.0')} AS sum_excl
+            FROM cuts c
+            LEFT JOIN {_EC} e ON e.user_id = c.user_id AND e.ts < c.t
+            GROUP BY c.user_id, c.t
+        """,
+        "engine_transforms": f"""
+            WITH ec AS (SELECT * FROM {_EC})
+            SELECT event_id,
+                   {_R('(lag(value) OVER (ORDER BY ts, event_id))/100.0')} AS lag_v,
+                   {_R('(sum(value) OVER (PARTITION BY event_type ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING))/100.0')} AS cum_by_type
+            FROM ec
+        """,
+        "lti": """
+            WITH oli AS (
+                SELECT o.o_custkey,
+                       greatest(o.o_orderdate,
+                                coalesce(max(l.l_shipdate), o.o_orderdate))
+                           AS olti
+                FROM orders o
+                LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                GROUP BY o.o_orderkey, o.o_custkey, o.o_orderdate
+            )
+            SELECT c.c_custkey, epoch_us(max(oli.olti)) AS lti_us
+            FROM customer c
+            LEFT JOIN oli ON oli.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey
+        """,
+        "n_most_common": f"""
+            WITH m AS (
+                SELECT user_id, event_type, count(*) AS c
+                FROM events WHERE ts <= {_EV} GROUP BY user_id, event_type
+            ), r AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY c DESC, event_type ASC) AS rn
+                FROM m
+            )
+            SELECT u.user_id,
+                   coalesce(string_agg(r.event_type, ',' ORDER BY r.rn), '')
+                       AS top2
+            FROM {_U} u
+            LEFT JOIN r ON r.user_id = u.user_id AND r.rn <= 2
+            GROUP BY u.user_id
+        """,
+        "dedup_exact": """
+            SELECT doc_id,
+                   count(*) OVER (PARTITION BY text) AS dup_count,
+                   CASE WHEN count(*) OVER (PARTITION BY text) > 1
+                        AND doc_id != min(doc_id) OVER (PARTITION BY text)
+                        THEN 1 ELSE 0 END AS is_dup
+            FROM documents
+        """,
+        "text_quality": f"""
+            WITH w AS (
+                SELECT doc_id, text,
+                       length(text) AS n_chars_calc,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END AS n_words,
+                       string_split_regex(lower(trim(text)), '\\s+') AS ww
+                FROM documents
+            )
+            SELECT doc_id, n_chars_calc, n_words,
+                   {_R(_MWL_EXPR)} AS mean_word_len,
+                   {_R(_PUNCT_EXPR)} AS punct_ratio,
+                   {_R(_STOP_EXPR)} AS stopword_ratio
+            FROM w
+        """,
+        "token_count": f"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+'))
+                   END AS ws_tokens,
+                   len(regexp_extract_all(text, {_BPE_SQL})) AS bpe_tokens
+            FROM documents
+        """,
+        "lang_id": """
+            WITH w AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS ww
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       len(list_filter(ww, x -> x IN ('der','die','und','das','ist','nicht','ein','mit','auf','sich'))) AS s_de,
+                       len(list_filter(ww, x -> x IN ('the','and','of','to','in','is','that','for','with','was'))) AS s_en,
+                       len(list_filter(ww, x -> x IN ('el','la','los','que','de','es','en','por','con','una'))) AS s_es,
+                       len(list_filter(ww, x -> x IN ('le','la','les','et','de','est','que','pour','dans','une'))) AS s_fr
+                FROM w
+            )
+            SELECT doc_id,
+                   CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+                        WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                        WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                        WHEN s_es >= s_fr THEN 'es'
+                        ELSE 'fr' END AS lang_pred
+            FROM s
+        """,
+        "ann_brute_topk": f"""
+            WITH q AS (
+                SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < 5
+            ), c AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id >= 5
+            ), s AS (
+                SELECT q.qid AS query_id, c.vec_id,
+                       list_dot_product(c.v, q.qv)
+                       / (sqrt(list_dot_product(c.v, c.v))
+                          * sqrt(list_dot_product(q.qv, q.qv))) AS score
+                FROM c, q
+            ), r AS (
+                SELECT query_id, vec_id, score,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, vec_id ASC)
+                           AS rank
+                FROM s
+            )
+            SELECT query_id, vec_id, {_R('score')} AS score, rank
+            FROM r WHERE rank <= 5
+        """,
+        "ngram_jaccard": f"""
+            WITH sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(length(lower(text)) - 4, 1) + 1),
+                           i -> substring(lower(text), i::INT, 5))) AS s
+                FROM documents
+            )
+            SELECT a.doc_id,
+                   {_R('len(list_intersect(a.s, b.s))::DOUBLE / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))')} AS jaccard
+            FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
         """,
     }

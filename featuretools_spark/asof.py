@@ -80,18 +80,87 @@ def asof_aggregate(
     training_window: Timedelta | None = None,
     n_observations: int | None = None,
     strategy: str = "join",
+    scalar_cutoff=None,
 ) -> DataFrame:
     """Compute per-(instance, cutoff) aggregations of child rows with
-    t ~ cutoff semantics. Returns [instance_col, cutoff_col, *outs]."""
+    t ~ cutoff semantics. Returns [instance_col, cutoff_col, *outs].
+
+    `cutoffs` must be distinct on (instance_col, cutoff_col) — the
+    caller (cfm) guarantees it, avoiding redundant exchanges here.
+    When every cutoff is one literal timestamp, pass scalar_cutoff:
+    the plan becomes filter → ONE groupBy(key) with map-side partial
+    aggregation → left join onto the instance keys (the reference's
+    scalar "tuple path", cfm.py:399-432) — strictly cheaper than the
+    join-then-aggregate shape needed for per-row cutoffs.
+    """
     if strategy == "sortmerge":
         return _asof_sortmerge(
             child, key_col, time_col, cutoffs, instance_col, specs,
             cutoff_col, include_cutoff_time, training_window,
         )
+    if scalar_cutoff is not None:
+        return _asof_scalar(
+            child, key_col, time_col, cutoffs, instance_col, specs,
+            cutoff_col, include_cutoff_time, training_window,
+            n_observations, scalar_cutoff,
+        )
     return _asof_join(
         child, key_col, time_col, cutoffs, instance_col, specs,
         cutoff_col, include_cutoff_time, training_window, n_observations,
     )
+
+
+def _asof_scalar(child, key_col, time_col, cutoffs, instance_col, specs,
+                 cutoff_col, include_cutoff_time, training_window,
+                 n_observations, scalar_cutoff):
+    """Scalar-cutoff fast path: filter events once, aggregate per key
+    (partial agg map-side), join results onto the instance keys."""
+    cut_lit = F.lit(scalar_cutoff).cast("timestamp")
+    ev = child
+    if time_col is not None:
+        ev = ev.filter(
+            _time_predicate(F.col(time_col), cut_lit, include_cutoff_time,
+                            training_window)
+        )
+    if n_observations is not None:
+        w = W.partitionBy(key_col).orderBy(F.col(time_col).desc_nulls_last())
+        ev = ev.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") <= n_observations
+        )
+    expr_specs = [s for s in specs if s.primitive.strategy == "expr"]
+    two_specs = [s for s in specs if s.primitive.strategy == "twostage"]
+    out = cutoffs.select(instance_col, cutoff_col)
+    if expr_specs:
+        aggs = []
+        for s in expr_specs:
+            where = F.col(s.where_col) if s.where_col else None
+            if s.primitive.uses_time_index and not s.input_cols:
+                inputs = []
+                local_ctx = AggContext(
+                    time=_wrap_where(F.col(time_col), where), cutoff=cut_lit
+                )
+            else:
+                inputs = [_wrap_where(F.col(c), where) for c in s.input_cols]
+                local_ctx = AggContext(
+                    time=(_wrap_where(F.col(time_col), where)
+                          if time_col else None),
+                    cutoff=cut_lit,
+                )
+            aggs.append(s.primitive.expr(inputs, local_ctx).alias(s.out_name))
+        agged = ev.groupBy(F.col(key_col).alias(instance_col)).agg(*aggs)
+        out = out.join(agged, on=instance_col, how="left")
+    for s in two_specs:
+        sub = ev
+        if s.where_col:
+            sub = sub.filter(F.col(s.where_col))
+        ctx2 = AggContext(time=F.col(time_col) if time_col else None,
+                          cutoff=cut_lit)
+        part = s.primitive.twostage(
+            sub.withColumn("__gk", F.col(key_col)), ["__gk"],
+            s.input_cols, s.out_name, ctx2,
+        ).withColumnRenamed("__gk", instance_col)
+        out = out.join(part, on=instance_col, how="left")
+    return _fill_defaults(out, specs)
 
 
 # ----------------------------------------------------------------------
@@ -100,7 +169,7 @@ def asof_aggregate(
 def _asof_join(child, key_col, time_col, cutoffs, instance_col, specs,
                cutoff_col, include_cutoff_time, training_window, n_observations):
     ev = child.alias("__ev")
-    cut = cutoffs.select(instance_col, cutoff_col).distinct().alias("__cut")
+    cut = cutoffs.select(instance_col, cutoff_col).alias("__cut")
     cond = F.col(f"__ev.{key_col}") == F.col(f"__cut.{instance_col}")
     if time_col is not None:
         cond = cond & _time_predicate(
@@ -117,8 +186,7 @@ def _asof_join(child, key_col, time_col, cutoffs, instance_col, specs,
     out = cut.select(
         F.col(f"__cut.{instance_col}").alias(instance_col),
         F.col(f"__cut.{cutoff_col}").alias(cutoff_col),
-    )
-
+    ) if not expr_specs else None
     joined = cut.join(ev, cond, "left")
 
     if n_observations is not None:
@@ -154,11 +222,12 @@ def _asof_join(child, key_col, time_col, cutoffs, instance_col, specs,
                     cutoff=ctx.cutoff,
                 )
             aggs.append(s.primitive.expr(inputs, local_ctx).alias(s.out_name))
-        agged = joined.groupBy(
+        # the LEFT join preserves every cutoff row, so the groupBy
+        # output IS the full key set — no join-back needed
+        out = joined.groupBy(
             F.col(f"__cut.{instance_col}").alias(instance_col),
             F.col(f"__cut.{cutoff_col}").alias(cutoff_col),
         ).agg(*aggs)
-        out = out.join(agged, on=keys, how="left")
 
     for s in two_specs:
         inner = cut.join(ev, cond, "inner")
@@ -210,6 +279,29 @@ def _asof_sortmerge(child, key_col, time_col, cutoffs, instance_col, specs,
             )
     if time_col is None:
         raise ValueError("sortmerge strategy requires a time index")
+
+    # count needs no value column (it counts qualifying event rows);
+    # everything else must be numeric for the vectorized kernel
+    specs = [
+        AggSpec(s.out_name, s.primitive,
+                [] if s.primitive.name == "count" else s.input_cols,
+                s.where_col)
+        for s in specs
+    ]
+    numeric_ok = dict(
+        (f.name, f.dataType.typeName() in (
+            "byte", "short", "integer", "long", "float", "double", "decimal",
+            "boolean",
+        ))
+        for f in child.schema.fields
+    )
+    for s in specs:
+        for c in s.input_cols:
+            if not numeric_ok.get(c, False):
+                raise ValueError(
+                    f"sortmerge kernel needs numeric input, got {c!r} for "
+                    f"{s.primitive.name!r}; use strategy='join'"
+                )
 
     value_cols = sorted({c for s in specs for c in s.input_cols})
     where_cols = sorted({s.where_col for s in specs if s.where_col})

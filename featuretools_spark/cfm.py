@@ -70,7 +70,9 @@ def calculate_feature_matrix(
     index_col = es.index(target)
     training_window = Timedelta.parse(training_window) if training_window else None
 
-    cutoffs, pass_cols = _build_cutoffs(es, target, index_col, cutoff_time)
+    cutoffs, pass_cols, scalar_cutoff = _build_cutoffs(
+        es, target, index_col, cutoff_time
+    )
     if instance_ids is not None:
         cutoffs = cutoffs.filter(F.col(index_col).isin(list(instance_ids)))
 
@@ -83,8 +85,14 @@ def calculate_feature_matrix(
             ordered.append(f)
 
     internal = {f.get_name(): f"_f{i}" for i, f in enumerate(ordered)}
-    base_keys = cutoffs.select(index_col, CUTOFF_COL).distinct()
+    if scalar_cutoff is not None:
+        # scalar path: the target index is unique by contract — no
+        # exchange needed to dedupe
+        base_keys = cutoffs.select(index_col, CUTOFF_COL)
+    else:
+        base_keys = cutoffs.select(index_col, CUTOFF_COL).distinct()
     matrix = base_keys
+    matrix_is_bare = True
 
     agg_feats = [f for f in ordered if isinstance(f, AggregationFeature)]
     direct_feats = [f for f in ordered if isinstance(f, DirectFeature)]
@@ -131,8 +139,14 @@ def calculate_feature_matrix(
             training_window=eff_window,
             n_observations=nobs,
             strategy=strategy,
+            scalar_cutoff=scalar_cutoff if strategy == "join" else None,
         )
-        matrix = matrix.join(part, on=[index_col, CUTOFF_COL], how="left")
+        if matrix_is_bare:
+            # part carries exactly the base key set — skip the join
+            matrix = part
+            matrix_is_bare = False
+        else:
+            matrix = matrix.join(part, on=[index_col, CUTOFF_COL], how="left")
         # re-fill defaults lost through the outer join
         fills = {
             s.out_name: s.primitive.default_value
@@ -270,7 +284,7 @@ def _build_cutoffs(es, target, index_col, cutoff_time):
             F.col(tcol).cast("timestamp").alias(CUTOFF_COL),
             *pass_cols,
         )
-        return df, pass_cols
+        return df, pass_cols, None
     if cutoff_time is None:
         cutoff_time = _max_time(es)
     if isinstance(cutoff_time, str):
@@ -278,7 +292,7 @@ def _build_cutoffs(es, target, index_col, cutoff_time):
     df = es[target].select(
         F.col(index_col), F.lit(cutoff_time).cast("timestamp").alias(CUTOFF_COL)
     )
-    return df, []
+    return df, [], cutoff_time
 
 
 def _max_time(es):
@@ -374,6 +388,16 @@ def _materialize_features(es, table, df, feats, time_col,
         cutoff=F.col(CUTOFF_COL) if CUTOFF_COL in df.columns else None,
         order_cols=[c for c in (time_col, es.index(table)) if c],
     )
+
+    # pandas-kernel transforms (EWM family etc.) run via applyInPandas
+    # over the groupby partition (or one global group — a deliberate
+    # scale trade-off matching the reference's full-column semantics)
+    pandas_feats = [
+        f for f in feats
+        if getattr(getattr(f, "primitive", None), "strategy", "") == "pandas"
+    ]
+    expr_feats = [f for f in feats if f not in pandas_feats]
+
     out_cols = []
     new_cols = {}
 
@@ -395,15 +419,67 @@ def _materialize_features(es, table, df, feats, time_col,
             return f.primitive.expr(inputs, ctx)
         raise ValueError(f"cannot materialize {f!r} on table {table}")
 
-    for f in feats:
+    global _MAT_COUNTER
+    results = {}
+    for f in expr_feats:
         c = compile_feat(f)
-        global _MAT_COUNTER
         _MAT_COUNTER += 1
         cname = f"_ft_m{_MAT_COUNTER}"
         df = df.withColumn(cname, c)
         new_cols[f.get_name()] = cname
-        out_cols.append(cname)
-    return df, out_cols
+        results[f.get_name()] = cname
+
+    for f in pandas_feats:
+        base_cols = []
+        for b in f.base_features:
+            c = compile_feat(b)
+            _MAT_COUNTER += 1
+            bname = f"_ft_m{_MAT_COUNTER}"
+            df = df.withColumn(bname, c.cast("double"))
+            base_cols.append(bname)
+        _MAT_COUNTER += 1
+        cname = f"_ft_m{_MAT_COUNTER}"
+        part_cols = (
+            [f.groupby.column]
+            if isinstance(f, GroupByTransformFeature)
+            else []
+        )
+        df = _apply_pandas_transform(
+            df, f.primitive, base_cols, cname, ctx.order_cols, part_cols
+        )
+        new_cols[f.get_name()] = cname
+        results[f.get_name()] = cname
+
+    return df, [results[f.get_name()] for f in feats]
+
+
+def _apply_pandas_transform(df, prim, in_cols, out_col, order_cols, part_cols):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.DoubleType(), True)]
+    )
+
+    def fn(pdf):
+        pdf = pdf.sort_values(order_cols, kind="stable")
+        return prim.pandas(pdf, in_cols, out_col, order_cols)
+
+    if part_cols:
+        return df.groupBy(*part_cols).applyInPandas(fn, schema)
+    # single global group (full-column semantics, reference parity);
+    # a bare int literal in groupBy is parsed as an ordinal — use a
+    # materialized constant column instead
+    tagged = df.withColumn("__ft_g", F.lit(1))
+    schema2 = T.StructType(
+        tagged.schema.fields
+        + [f for f in schema.fields if f.name == out_col]
+    )
+
+    def fn2(pdf):
+        pdf = pdf.sort_values(order_cols, kind="stable")
+        return prim.pandas(pdf, in_cols, out_col, order_cols)
+
+    return tagged.groupBy("__ft_g").applyInPandas(fn2, schema2).drop("__ft_g")
 
 
 _MAT_COUNTER = 0

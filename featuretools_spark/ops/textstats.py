@@ -8,6 +8,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+
+def _round4(x):
+    """floor(x*1e4 + 0.5)/1e4 — IEEE-identical in Spark and DuckDB."""
+    return F.floor(x.cast("double") * 10000.0 + F.lit(0.5)).cast("double") / 10000.0
+
 # BPE-ish pre-tokenizer regex (GPT-2 style, simplified to what Java
 # regex supports): contractions, word chunks, number chunks,
 # punctuation chunks.
@@ -68,15 +73,15 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
     out = (
         df.withColumn("n_chars_calc", n_chars)
         .withColumn("n_words", n_words)
-        .withColumn("mean_word_len", F.round(mean_wl, 4))
+        .withColumn("mean_word_len", _round4(mean_wl))
         .withColumn("punct_ratio",
-                    F.round(punct / F.greatest(n_chars, F.lit(1)), 4))
+                    _round4(punct / F.greatest(n_chars, F.lit(1))))
         .withColumn("digit_ratio",
-                    F.round(digits / F.greatest(n_chars, F.lit(1)), 4))
+                    _round4(digits / F.greatest(n_chars, F.lit(1))))
         .withColumn("upper_ratio",
-                    F.round(uppers / F.greatest(n_chars, F.lit(1)), 4))
+                    _round4(uppers / F.greatest(n_chars, F.lit(1))))
         .withColumn("stopword_ratio",
-                    F.round(stop_hits / F.greatest(n_words, F.lit(1)).cast("double"), 4))
+                    _round4(stop_hits / F.greatest(n_words, F.lit(1)).cast("double")))
     )
     # simple composite quality score in [0,1]: reasonable length,
     # moderate punctuation, some stopwords
@@ -85,7 +90,7 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
         + (1.0 - F.least(F.col("punct_ratio") * 5.0, F.lit(1.0))) * 0.3
         + F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0)) * 0.3
     )
-    return out.withColumn("quality_score", F.round(score, 4))
+    return out.withColumn("quality_score", _round4(score))
 
 
 def fingerprint(df: DataFrame, id_col: str, text_col: str,

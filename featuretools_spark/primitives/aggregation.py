@@ -220,7 +220,13 @@ def _ts_sec(c: Column) -> Column:
 
 
 def _seconds_between(later: Column, earlier: Column) -> Column:
-    return _ts_sec(later) - _ts_sec(earlier)
+    # integer-micros difference, then ONE division — bit-identical to
+    # SQL (epoch_us(a) - epoch_us(b)) / 1e6 (oracle parity; a double
+    # cast per operand rounds twice and differs in the last ULP)
+    return (
+        F.unix_micros(later.cast("timestamp"))
+        - F.unix_micros(earlier.cast("timestamp"))
+    ) / F.lit(1e6)
 
 
 @agg_primitive

@@ -83,9 +83,10 @@ class ModuloNumeric(TransformPrimitive):
 
     def expr(self, inputs, ctx):
         # pandas % follows sign of divisor (python semantics), Spark's
-        # follows dividend: emulate python modulo
+        # follows dividend: emulate python modulo. Guard b==0 (ANSI mode
+        # throws; pandas yields NaN).
         a, b = inputs[0].cast("double"), inputs[1].cast("double")
-        return ((a % b) + b) % b
+        return F.when(b == 0, F.lit(float("nan"))).otherwise(((a % b) + b) % b)
 
 
 class _ScalarTransform(TransformPrimitive):
@@ -147,6 +148,8 @@ class ModuloNumericScalar(_ScalarTransform):
 
     def expr(self, inputs, ctx):
         a, b = inputs[0].cast("double"), F.lit(float(self.value))
+        if float(self.value) == 0.0:
+            return F.lit(float("nan"))
         return ((a % b) + b) % b
 
 
@@ -1208,7 +1211,7 @@ class Percentile(_WindowTransform):
             if ctx.partition_cols
             else _W.partitionBy()
         )
-        vw = w.orderBy(inputs[0])
+        vw = w.orderBy(inputs[0].asc_nulls_last())
         # average-method rank = (rank + (rank + count_of_equal - 1)) / 2
         r = F.rank().over(vw)
         cnt_eq = F.count(F.lit(1)).over(w.partitionBy(*ctx.partition_cols, inputs[0]) if ctx.partition_cols else _W.partitionBy(inputs[0]))
@@ -1381,3 +1384,216 @@ class ExpandingTrend(_Expanding):
         var = F.var_pop(F.when(y.isNotNull(), x)).over(w)
         mp = max(self.min_periods, 2)
         return F.when((n >= mp) & (var > 0), cov / var)
+
+
+# ----------------------------------------------------------------------
+# pandas-kernel transforms (no Spark builtin): EWM family, savgol,
+# rolling outlier count. Executed by cfm via applyInPandas over the
+# partition columns (Arrow-batched; the reference computes these on the
+# full column too — exponential/exponential_weighted_average.py:7,
+# savgol_filter.py:11, time_series/rolling_outlier_count.py:13).
+# ----------------------------------------------------------------------
+class _PandasKernelTransform(TransformPrimitive):
+    uses_full_dataframe = True
+    strategy = "pandas"
+
+    def pandas(self, pdf, in_cols, out_col, order_cols):
+        raise NotImplementedError
+
+
+class _EWMBase(_PandasKernelTransform):
+    def __init__(self, com=None, span=None, halflife=None, alpha=None,
+                 ignore_na=False):
+        if com is None and span is None and halflife is None and alpha is None:
+            com = 0.5  # reference default
+        self.com, self.span = com, span
+        self.halflife, self.alpha = halflife, alpha
+        self.ignore_na = ignore_na
+
+    def _ewm(self, s):
+        return s.ewm(com=self.com, span=self.span, halflife=self.halflife,
+                     alpha=self.alpha, ignore_na=self.ignore_na)
+
+
+@transform_primitive
+class ExponentialWeightedAverage(_EWMBase):
+    name = "exponential_weighted_average"
+
+    def pandas(self, pdf, in_cols, out_col, order_cols):
+        pdf[out_col] = self._ewm(pdf[in_cols[0]]).mean()
+        return pdf
+
+
+@transform_primitive
+class ExponentialWeightedSTD(_EWMBase):
+    name = "exponential_weighted_std"
+
+    def pandas(self, pdf, in_cols, out_col, order_cols):
+        pdf[out_col] = self._ewm(pdf[in_cols[0]]).std()
+        return pdf
+
+
+@transform_primitive
+class ExponentialWeightedVariance(_EWMBase):
+    name = "exponential_weighted_variance"
+
+    def pandas(self, pdf, in_cols, out_col, order_cols):
+        pdf[out_col] = self._ewm(pdf[in_cols[0]]).var()
+        return pdf
+
+
+@transform_primitive
+class RollingOutlierCount(_PandasKernelTransform):
+    name = "rolling_outlier_count"
+
+    def __init__(self, window_length=5, gap=0, min_periods=1):
+        self.window_length = int(window_length)
+        self.gap = int(gap)
+        self.min_periods = int(min_periods) if min_periods else 1
+
+    def pandas(self, pdf, in_cols, out_col, order_cols):
+        s = pdf[in_cols[0]]
+        if self.gap:
+            s = s.shift(self.gap)
+
+        def count_outliers(win):
+            import numpy as _np
+            w = win[~_np.isnan(win)]
+            if len(w) == 0:
+                return _np.nan
+            q1, q3 = _np.percentile(w, [25, 75])
+            iqr = q3 - q1
+            lo, hi = q1 - 1.5 * iqr, q3 + 1.5 * iqr
+            return float(((w < lo) | (w > hi)).sum())
+
+        pdf[out_col] = s.rolling(
+            self.window_length, min_periods=self.min_periods
+        ).apply(count_outliers, raw=True)
+        return pdf
+
+
+@transform_primitive
+class SavgolFilter(_PandasKernelTransform):
+    name = "savgol_filter"
+
+    def __init__(self, window_length=5, polyorder=3):
+        self.window_length = int(window_length)
+        self.polyorder = int(polyorder)
+
+    def pandas(self, pdf, in_cols, out_col, order_cols):
+        try:
+            from scipy.signal import savgol_filter as _sg
+        except ImportError as exc:  # scipy not in this container
+            raise NotImplementedError(
+                "savgol_filter needs scipy (not installed here)"
+            ) from exc
+        pdf[out_col] = _sg(pdf[in_cols[0]].values, self.window_length,
+                           self.polyorder)
+        return pdf
+
+
+# ----------------------------------------------------------------------
+# holiday transforms — built-in US federal holiday table (2020-2030,
+# computed from the statutory rules, no external package), broadcast
+# as a literal array (reference date_to_holiday.py:9 uses the
+# `holidays` pkg; same output for the US range we ship).
+# ----------------------------------------------------------------------
+def _us_federal_holidays():
+    import datetime as _dt
+
+    def nth_weekday(year, month, weekday, n):
+        d = _dt.date(year, month, 1)
+        offset = (weekday - d.weekday()) % 7
+        return d + _dt.timedelta(days=offset + 7 * (n - 1))
+
+    def last_weekday(year, month, weekday):
+        if month == 12:
+            d = _dt.date(year, 12, 31)
+        else:
+            d = _dt.date(year, month + 1, 1) - _dt.timedelta(days=1)
+        return d - _dt.timedelta(days=(d.weekday() - weekday) % 7)
+
+    out = {}
+    for y in range(2015, 2031):
+        out[_dt.date(y, 1, 1)] = "New Year's Day"
+        out[nth_weekday(y, 1, 0, 3)] = "Martin Luther King Jr. Day"
+        out[nth_weekday(y, 2, 0, 3)] = "Washington's Birthday"
+        out[last_weekday(y, 5, 0)] = "Memorial Day"
+        if y >= 2021:
+            out[_dt.date(y, 6, 19)] = "Juneteenth National Independence Day"
+        out[_dt.date(y, 7, 4)] = "Independence Day"
+        out[nth_weekday(y, 9, 0, 1)] = "Labor Day"
+        out[nth_weekday(y, 10, 0, 2)] = "Columbus Day"
+        out[_dt.date(y, 11, 11)] = "Veterans Day"
+        out[nth_weekday(y, 11, 3, 4)] = "Thanksgiving"
+        out[_dt.date(y, 12, 25)] = "Christmas Day"
+    return out
+
+
+@transform_primitive
+class DateToHoliday(_DT):
+    name = "date_to_holiday"
+    return_kind = "category"
+
+    def expr(self, inputs, ctx):
+        hols = _us_federal_holidays()
+        mapping = F.create_map(
+            *[x for d, n in sorted(hols.items())
+              for x in (F.lit(d.isoformat()), F.lit(n))]
+        )
+        return mapping.getItem(F.date_format(inputs[0], "yyyy-MM-dd"))
+
+
+@transform_primitive
+class IsFederalHoliday(_DT):
+    name = "is_federal_holiday"
+    return_kind = "boolean"
+
+    def expr(self, inputs, ctx):
+        hols = sorted(d.isoformat() for d in _us_federal_holidays())
+        return F.date_format(inputs[0], "yyyy-MM-dd").isin(hols)
+
+
+@transform_primitive
+class DistanceToHoliday(_DT):
+    name = "distance_to_holiday"
+
+    def __init__(self, holiday="New Year's Day"):
+        self.holiday = holiday
+
+    def expr(self, inputs, ctx):
+        dates = sorted(
+            d for d, n in _us_federal_holidays().items() if n == self.holiday
+        )
+        arr = F.array(*[F.lit(d.isoformat()).cast("date") for d in dates])
+        diffs = F.transform(arr, lambda h: F.datediff(h, F.to_date(inputs[0])))
+        # nearest holiday occurrence (signed days, reference semantics)
+        return F.aggregate(
+            diffs,
+            F.lit(None).cast("int"),
+            lambda acc, x: F.when(acc.isNull() | (F.abs(x) < F.abs(acc)), x)
+            .otherwise(acc),
+        )
+
+
+@transform_primitive
+class NthWeekOfMonth(_DT):
+    name = "nth_week_of_month"
+
+    def expr(self, inputs, ctx):
+        first = F.trunc(inputs[0], "month")
+        # week-of-month relative to the calendar row of the 1st (Sunday start)
+        dow_first = F.dayofweek(first)  # Sun=1
+        return ((F.dayofmonth(inputs[0]) + dow_first - 2) / 7).cast("int") + 1
+
+
+@transform_primitive
+class IsFirstWeekOfMonth(_DT):
+    name = "is_first_week_of_month"
+    return_kind = "boolean"
+
+    def expr(self, inputs, ctx):
+        first = F.trunc(inputs[0], "month")
+        dow_first = F.dayofweek(first)
+        wk = ((F.dayofmonth(inputs[0]) + dow_first - 2) / 7).cast("int") + 1
+        return wk == 1

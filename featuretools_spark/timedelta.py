@@ -43,7 +43,7 @@ class Timedelta:
     parsed from a string like "30 days" / "5 observations"."""
 
     def __init__(self, value: float, unit: str = "d"):
-        unit = _ALIASES.get(unit, unit)
+        unit = _ALIASES.get(unit, _ALIASES.get(unit.lower(), unit))
         if unit not in _ABS_SECONDS and unit not in _RELATIVE and unit != _OBSERVATION:
             raise ValueError(f"unknown Timedelta unit: {unit!r}")
         self.value = value

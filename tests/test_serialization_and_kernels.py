@@ -1,0 +1,85 @@
+"""Feature JSON round-trip + pandas-kernel transforms (EWM)."""
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+import featuretools_spark as fts
+from featuretools_spark.features import (
+    AggregationFeature,
+    GroupByTransformFeature,
+    IdentityFeature,
+    TransformFeature,
+)
+from featuretools_spark.serialization import (
+    feature_from_dict,
+    feature_to_dict,
+    load_features,
+    save_features,
+)
+
+
+def test_feature_json_roundtrip(es, tmp_path):
+    val = IdentityFeature(es, "events", "value")
+    et = IdentityFeature(es, "events", "event_type")
+    feats = [
+        AggregationFeature(val, "users", "sum", es=es, where=(et == "click"),
+                           use_previous="7 days"),
+        TransformFeature("absolute", [val]),
+        GroupByTransformFeature("cum_sum", [val], groupby=et),
+        fts.DirectFeature(
+            IdentityFeature(es, "users", "user_id").rename("uid"), "events",
+            es=es,
+        ),
+        AggregationFeature(val, "users", "trend", es=es),
+    ]
+    # rename uses _custom_name which is not serialized — drop it
+    feats[3] = fts.DirectFeature(
+        IdentityFeature(es, "users", "user_id"), "events", es=es
+    )
+    p = str(tmp_path / "feats.json")
+    save_features(feats, p)
+    loaded = load_features(p, es)
+    assert [f.get_name() for f in loaded] == [f.get_name() for f in feats]
+    rt = [feature_from_dict(feature_to_dict(f), es) for f in feats]
+    assert [f.get_name() for f in rt] == [f.get_name() for f in feats]
+
+
+def test_ewm_parity_with_pandas(spark):
+    rng = np.random.RandomState(3)
+    pdf = pd.DataFrame({
+        "id": np.arange(30),
+        "grp": rng.randint(0, 2, 30),
+        "val": rng.randn(30),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(np.arange(30) * 3600, unit="s"),
+    })
+    sdf = spark.createDataFrame(pdf)
+    es = fts.EntitySet("ewm")
+    es.add_dataframe("rows", sdf, index="id", time_index="ts")
+    val = IdentityFeature(es, "rows", "val")
+    grp = IdentityFeature(es, "rows", "grp")
+    f_global = TransformFeature("exponential_weighted_average", [val])
+    f_grouped = GroupByTransformFeature(
+        "exponential_weighted_average", [val], groupby=grp
+    )
+    fm = fts.calculate_feature_matrix(
+        [f_global, f_grouped], es, cutoff_time=dt.datetime(2025, 1, 1)
+    )
+    got = {
+        r["id"]: (r[f_global.get_name()], r[f_grouped.get_name()])
+        for r in fm.collect()
+    }
+    want_g = pdf.sort_values(["ts", "id"])["val"].ewm(com=0.5).mean()
+    want_g.index = pdf.sort_values(["ts", "id"])["id"]
+    p2 = pdf.sort_values(["ts", "id"])
+    want_grp = p2.groupby("grp")["val"].transform(
+        lambda s: s.ewm(com=0.5).mean()
+    )
+    want_grp.index = p2["id"]
+    for i in want_g.index:
+        assert abs(got[i][0] - want_g[i]) < 1e-9, (i, got[i][0], want_g[i])
+        assert abs(got[i][1] - want_grp[i]) < 1e-9, (i, got[i][1], want_grp[i])

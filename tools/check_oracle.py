@@ -45,8 +45,12 @@ for name, fn in qs.items():
     try:
         sdf = fn(spark, SF_DIR)
         scols = sorted(sdf.columns)
+        def skey(row):
+            return tuple((v is None, str(v)) for v in row)
+
         srows = sorted(
-            tuple(norm(r[c]) for c in scols) for r in sdf.collect()
+            (tuple(norm(r[c]) for c in scols) for r in sdf.collect()),
+            key=skey,
         )
         if name not in oras:
             print(f"{name}: rows={len(srows)} (no oracle - rows-only)")
@@ -55,8 +59,9 @@ for name, fn in qs.items():
         names = [d[0] for d in od.description]
         ocols = sorted(names)
         orows = sorted(
-            tuple(norm(dict(zip(names, row))[c]) for c in ocols)
-            for row in od.fetchall()
+            (tuple(norm(dict(zip(names, row))[c]) for c in ocols)
+             for row in od.fetchall()),
+            key=skey,
         )
         ok_schema = scols == ocols
         ok_count = len(srows) == len(orows)
