@@ -376,8 +376,116 @@ def _asof_sortmerge(child, key_col, time_col, cutoffs, instance_col, specs,
                     cache[k] = (v, None)
             return cache[k]
 
+        nC = len(ct)
+        pfx_cache = {}
+
+        def prefixes(col, wcol):
+            """Prefix aggregates over the time-sorted events for
+            O(#cutoffs) evaluation instead of per-cutoff slicing."""
+            k = (col, wcol)
+            if k in pfx_cache:
+                return pfx_cache[k]
+            v, wmask = sorted_vals(col, wcol)
+            if col is not None:
+                valid = ~np.isnan(v)
+            elif wmask is not None:
+                valid = wmask
+            else:
+                valid = np.ones(len(et), dtype=bool)
+            vz = np.where(valid, np.nan_to_num(v) if col is not None else 0.0, 0.0)
+            p = {
+                "valid": valid,
+                "vidx": np.flatnonzero(valid),
+                "cnt": np.concatenate(([0], np.cumsum(valid))),
+                "sum": np.concatenate(([0.0], np.cumsum(vz))),
+                "sumsq": np.concatenate(([0.0], np.cumsum(vz * vz))),
+            }
+            # time prefix sums over valid rows (for trend / time prims)
+            tx = np.where(valid, et / 86400e6, 0.0)
+            p["tsum"] = np.concatenate(([0.0], np.cumsum(tx)))
+            p["t2sum"] = np.concatenate(([0.0], np.cumsum(tx * tx)))
+            if col is not None:
+                p["tysum"] = np.concatenate(([0.0], np.cumsum(tx * vz)))
+                if window_us is None:
+                    p["runmin"] = np.fmin.accumulate(
+                        np.where(valid, v, np.nan)
+                    )
+                    p["runmax"] = np.fmax.accumulate(
+                        np.where(valid, v, np.nan)
+                    )
+            pfx_cache[k] = (p, v, wmask)
+            return pfx_cache[k]
+
+        _VECTOR = {"count", "sum", "mean", "std", "variance", "first", "last",
+                   "time_since_last", "time_since_first", "avg_time_between",
+                   "first_last_time_delta", "trend", "min", "max"}
+
         for out_name, pname, in_cols, wcol in spec_rows:
             col = in_cols[0] if in_cols else None
+            vectorizable = pname in _VECTOR and not (
+                pname in ("min", "max") and window_us is not None
+            )
+            if vectorizable:
+                p, v, wmask = prefixes(col, wcol)
+                n = p["cnt"][hi] - p["cnt"][lo]
+                has = n > 0
+                res = np.full(nC, np.nan)
+                if pname == "count":
+                    res = n.astype(np.float64)
+                elif pname == "sum":
+                    res[has] = (p["sum"][hi] - p["sum"][lo])[has]
+                elif pname == "mean":
+                    res[has] = ((p["sum"][hi] - p["sum"][lo]) / n)[has]
+                elif pname in ("std", "variance"):
+                    m = np.full(nC, np.nan)
+                    m[has] = ((p["sum"][hi] - p["sum"][lo]) / n)[has]
+                    msq = np.full(nC, np.nan)
+                    msq[has] = ((p["sumsq"][hi] - p["sumsq"][lo]) / n)[has]
+                    var = np.maximum(msq - m * m, 0.0)
+                    res = np.sqrt(var) if pname == "std" else var
+                elif pname in ("min", "max"):
+                    run = p["runmin"] if pname == "min" else p["runmax"]
+                    ok = hi > 0
+                    res[ok] = run[hi[ok] - 1]
+                elif pname in ("first", "last"):
+                    vidx = p["vidx"]
+                    if pname == "first":
+                        pos = np.searchsorted(vidx, lo, side="left")
+                        ok = (pos < len(vidx)) & has
+                        res[ok] = v[vidx[np.minimum(pos, len(vidx) - 1)]][ok]
+                    else:
+                        pos = np.searchsorted(vidx, hi, side="left") - 1
+                        ok = (pos >= 0) & has
+                        res[ok] = v[vidx[np.maximum(pos, 0)]][ok]
+                elif pname in ("time_since_last", "time_since_first",
+                               "avg_time_between", "first_last_time_delta"):
+                    vidx = p["vidx"]
+                    pos_last = np.searchsorted(vidx, hi, side="left") - 1
+                    pos_first = np.searchsorted(vidx, lo, side="left")
+                    ok = has & (pos_last >= 0) & (pos_first < len(vidx))
+                    t_last = et[vidx[np.maximum(pos_last, 0)]]
+                    t_first = et[vidx[np.minimum(pos_first, len(vidx) - 1)]]
+                    if pname == "time_since_last":
+                        res[ok] = ((ct - t_last) / 1e6)[ok]
+                    elif pname == "time_since_first":
+                        res[ok] = ((ct - t_first) / 1e6)[ok]
+                    elif pname == "first_last_time_delta":
+                        res[ok] = ((t_last - t_first) / 1e6)[ok]
+                    else:  # avg_time_between
+                        ok2 = ok & (n > 1)
+                        res[ok2] = ((t_last - t_first) / 1e6)[ok2] / (n[ok2] - 1)
+                elif pname == "trend":
+                    sx = p["tsum"][hi] - p["tsum"][lo]
+                    sx2 = p["t2sum"][hi] - p["t2sum"][lo]
+                    sy = p["sum"][hi] - p["sum"][lo]
+                    sxy = p["tysum"][hi] - p["tysum"][lo]
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        varx = sx2 / n - (sx / n) ** 2
+                        cov = sxy / n - (sx / n) * (sy / n)
+                        ok = (n >= 2) & (varx > 0)
+                        res[ok] = (cov / varx)[ok]
+                out[out_name] = res
+                continue
             v, wmask = sorted_vals(col, wcol)
             res = np.full(len(ct), np.nan)
             for i in range(len(ct)):
