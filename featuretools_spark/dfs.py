@@ -79,6 +79,7 @@ def build_features(
     target_dataframe_name: str,
     agg_primitives=None,
     trans_primitives=None,
+    where_primitives=None,
     max_depth: int = 2,
     max_features: int | None = None,
     ignore_columns: dict | None = None,
@@ -86,6 +87,7 @@ def build_features(
     es = entityset
     target = target_dataframe_name
     agg_names = agg_primitives if agg_primitives is not None else DEFAULT_AGG_PRIMITIVES
+    where_names = where_primitives if where_primitives is not None else ["count"]
     trans_names = (
         trans_primitives if trans_primitives is not None else DEFAULT_TRANS_PRIMITIVES
     )
@@ -148,6 +150,32 @@ def build_features(
                 add(AggregationFeature(base, target, type(prim)(), es=es,
                                        relationship_path=path))
 
+    # 2b. WHERE-clause variants from interesting_values
+    #     (reference deep_feature_synthesis.py:876-893)
+    where_prims = [get_aggregation_primitive(a) for a in where_names]
+    for path in backward_paths(target, max_depth):
+        child = path[-1].child_name
+        iv = es.meta[child].interesting_values
+        for col, vals in iv.items():
+            for val in vals:
+                where = IdentityFeature(es, child, col) == val
+                for prim in where_prims:
+                    kinds = getattr(prim, "input_kinds", ("numeric",))
+                    if kinds == ("index",):
+                        base = IdentityFeature(es, child, es.index(child))
+                        add(AggregationFeature(base, target, type(prim)(),
+                                               es=es, relationship_path=path,
+                                               where=where))
+                    elif kinds == ():
+                        continue
+                    else:
+                        for bcol in _matching_columns(es, child, kinds):
+                            if usable(child, bcol) and bcol != col:
+                                base = IdentityFeature(es, child, bcol)
+                                add(AggregationFeature(
+                                    base, target, type(prim)(), es=es,
+                                    relationship_path=path, where=where))
+
     # 3. transform features on the target
     trans_prims = [get_transform_primitive(t) for t in trans_names]
     for prim in trans_prims:
@@ -194,6 +222,7 @@ def dfs(
     instance_ids=None,
     agg_primitives=None,
     trans_primitives=None,
+    where_primitives=None,
     max_depth: int = 2,
     max_features: int | None = None,
     training_window=None,
@@ -209,6 +238,7 @@ def dfs(
         target_dataframe_name,
         agg_primitives=agg_primitives,
         trans_primitives=trans_primitives,
+        where_primitives=where_primitives,
         max_depth=max_depth,
         max_features=max_features,
         ignore_columns=ignore_columns,

@@ -75,6 +75,7 @@ class TableMeta:
         self.secondary_time_index = secondary_time_index or {}
         self.column_schemas: dict[str, ColumnSchema] = {}
         self.last_time_index = False  # True once add_last_time_indexes ran
+        self.interesting_values: dict[str, list] = {}
 
 
 class EntitySet:
@@ -194,6 +195,96 @@ class EntitySet:
 
         walk(start, [], {start})
         return paths
+
+    # ------------------------------------------------------------------
+    # interesting values (reference entityset.py:1267-1337) — per
+    # categorical column, the most frequent values; drives WHERE-clause
+    # feature enumeration in DFS. One groupBy per column, driver-side
+    # metadata only.
+    # ------------------------------------------------------------------
+    def add_interesting_values(
+        self, max_values: int = 5, dataframe_name: str | None = None,
+        values: dict | None = None,
+    ) -> "EntitySet":
+        names = [dataframe_name] if dataframe_name else list(self.tables)
+        for name in names:
+            meta = self.meta[name]
+            if values is not None:
+                meta.interesting_values.update(values)
+                continue
+            df = self.tables[name]
+            for col, cs in meta.column_schemas.items():
+                if not cs.is_categorical() or "index" in cs.semantic_tags:
+                    continue
+                top = (
+                    df.filter(F.col(col).isNotNull())
+                    .groupBy(col)
+                    .count()
+                    .orderBy(F.desc("count"), F.asc(col))
+                    .limit(max_values)
+                    .collect()
+                )
+                meta.interesting_values[col] = [r[col] for r in top]
+        return self
+
+    # ------------------------------------------------------------------
+    # query_by_values (reference entityset.py:1459-1534): semi-join /
+    # isin filter + optional time window
+    # ------------------------------------------------------------------
+    def query_by_values(
+        self, dataframe_name: str, instance_vals, column_name: str | None = None,
+        time_last=None, training_window=None, include_cutoff_time: bool = True,
+    ) -> DataFrame:
+        from featuretools_spark.timedelta import Timedelta
+
+        df = self.tables[dataframe_name]
+        col = column_name or self.meta[dataframe_name].index
+        if isinstance(instance_vals, DataFrame):
+            vals_df = instance_vals.toDF(col)
+            df = df.join(F.broadcast(vals_df), on=col, how="left_semi")
+        else:
+            df = df.filter(F.col(col).isin(list(instance_vals)))
+        ti = self.meta[dataframe_name].time_index
+        if time_last is not None and ti:
+            t = F.col(ti)
+            cutoff = F.lit(time_last).cast("timestamp")
+            pred = t <= cutoff if include_cutoff_time else t < cutoff
+            if training_window is not None:
+                w = Timedelta.parse(training_window)
+                start = w.subtract_from(cutoff)
+                pred = pred & (t > start if include_cutoff_time else t >= start)
+            df = df.filter(pred)
+        return df
+
+    # ------------------------------------------------------------------
+    # concat (reference entityset.py:1007-1058): union same-schema
+    # entitysets, dedup per table by index (keep first in time order)
+    # ------------------------------------------------------------------
+    def concat(self, other: "EntitySet") -> "EntitySet":
+        from pyspark.sql import Window as W
+
+        out = EntitySet(self.id)
+        for name, df in self.tables.items():
+            meta = self.meta[name]
+            merged = df.unionByName(other.tables[name], allowMissingColumns=True)
+            if meta.time_index:
+                w = W.partitionBy(meta.index).orderBy(
+                    F.col(meta.time_index).asc_nulls_last()
+                )
+                merged = (
+                    merged.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1).drop("_rn")
+                )
+            else:
+                merged = merged.dropDuplicates([meta.index])
+            out.add_dataframe(
+                name, merged, index=meta.index, time_index=meta.time_index,
+                secondary_time_index=meta.secondary_time_index,
+            )
+        for rel in self.relationships:
+            out.add_relationship(rel.parent_name, rel.parent_col,
+                                 rel.child_name, rel.child_col)
+        return out
 
     # ------------------------------------------------------------------
     # last time index (reference entityset.py:1063-1243) — needed for
