@@ -561,6 +561,125 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_approximate(spark, sf_dir):
+    """approximate cutoff binning (2-day windows): aggregates computed
+    once per (user, bin floor) — the reference's approximate path."""
+    es = _es_events(spark, sf_dir)
+    cuts = (
+        es["users"].select("user_id").crossJoin(
+            spark.createDataFrame(
+                [(dt.datetime(2024, 1, 15, 6),),
+                 (dt.datetime(2024, 1, 15, 18),),
+                 (dt.datetime(2024, 1, 19),)],
+                "time timestamp",
+            )
+        )
+    )
+    v = IdentityFeature(es, "events", "value")
+    eid = IdentityFeature(es, "events", "event_id")
+    feats = [
+        AggregationFeature(eid, "users", "count", es=es),
+        AggregationFeature(v, "users", "sum", es=es),
+    ]
+    fm = fts.calculate_feature_matrix(feats, es, cutoff_time=cuts,
+                                      approximate="2 days")
+    out = fm.select(
+        F.col("user_id"),
+        F.unix_micros(F.col("time").cast("timestamp")).alias("cutoff_us"),
+        _q("COUNT(events)").alias("cnt_approx"),
+        _q("SUM(events.value)").alias("sum_approx"),
+    )
+    out = _scale(out, ["sum_approx"])
+    return _r4(out, ["sum_approx"])
+
+
+def q_output_slice(spark, sf_dir):
+    """multi-output primitive + FeatureOutputSlice: 1st and 2nd most
+    common event types as separate columns."""
+    from featuretools_spark.features import FeatureOutputSlice
+    from featuretools_spark.primitives import get_aggregation_primitive
+
+    es = _es_events(spark, sf_dir)
+    et = IdentityFeature(es, "events", "event_type")
+    prim = get_aggregation_primitive("n_most_common")
+    prim.n = 2
+    nmc = AggregationFeature(et, "users", prim, es=es)
+    s0, s1 = FeatureOutputSlice(nmc, 0), FeatureOutputSlice(nmc, 1)
+    fm = fts.calculate_feature_matrix([s0, s1], es, cutoff_time=EV_CUTOFF)
+    return fm.select(
+        F.col("user_id"),
+        _q(s0.get_name()).alias("top1"),
+        _q(s1.get_name()).alias("top2"),
+    )
+
+
+def q_temporal_cutoffs(spark, sf_dir):
+    """make_temporal_cutoffs: 3 weekly windows back from 2024-01-22,
+    count of events per (user, window)."""
+    from featuretools_spark.time_utils import make_temporal_cutoffs
+
+    es = _es_events(spark, sf_dir)
+    labels = es["users"].select(
+        "user_id", F.lit(dt.datetime(2024, 1, 22)).alias("time")
+    )
+    cuts = make_temporal_cutoffs(labels, "user_id", window_size="7 days",
+                                 num_windows=3)
+    eid = IdentityFeature(es, "events", "event_id")
+    feats = [AggregationFeature(eid, "users", "count", es=es)]
+    fm = fts.calculate_feature_matrix(feats, es, cutoff_time=cuts)
+    return fm.select(
+        F.col("user_id"),
+        F.unix_micros(F.col("time").cast("timestamp")).alias("cutoff_us"),
+        _q("COUNT(events)").alias("cnt"),
+    )
+
+
+def q_custom_primitive(spark, sf_dir):
+    """user-defined aggregation primitive (sum of squares) through the
+    full engine path — the UDF surface."""
+    from featuretools_spark.primitives.base import AggregationPrimitive
+
+    class SumOfSquares(AggregationPrimitive):
+        name = "sum_of_squares"
+        default_value = 0
+
+        def expr(self, inputs, ctx):
+            x = inputs[0].cast("double")
+            return F.sum(x * x)
+
+    es = _es_events(spark, sf_dir)
+    v = IdentityFeature(es, "events", "value")
+    f = AggregationFeature(v, "users", SumOfSquares(), es=es)
+    fm = fts.calculate_feature_matrix([f], es, cutoff_time=EV_CUTOFF)
+    out = fm.select(
+        F.col("user_id"),
+        _q("SUM_OF_SQUARES(events.value)").alias("ssq"),
+    )
+    out = _scale(out, ["ssq"], 10000.0)
+    return _r4(out, ["ssq"])
+
+
+def q_lsh_topk(spark, sf_dir):
+    """random-hyperplane LSH ANN (approximate — rows-only check)."""
+    from featuretools_spark.ops.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = lsh_topk(emb.filter(F.col("vec_id") >= 3), queries,
+                   id_col="vec_id", vec_col="embedding", k=5, n_planes=12)
+    return _r4(out.select("query_id", "vec_id", "score", "rank"), ["score"])
+
+
+def q_fingerprint(spark, sf_dir):
+    """document fingerprints (xxhash64-based — rows-only check)."""
+    from featuretools_spark.ops.textstats import fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fingerprint(docs, "doc_id", "text")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dfs_depth1(spark, "/root/testdata/sf0.001")
@@ -594,6 +713,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "ngram_jaccard": q_ngram_jaccard,
+        "approximate": q_approximate,
+        "output_slice": q_output_slice,
+        "temporal_cutoffs": q_temporal_cutoffs,
+        "custom_primitive": q_custom_primitive,
+        "lsh_topk": q_lsh_topk,
+        "fingerprint": q_fingerprint,
     }
 
 
@@ -970,5 +1095,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id,
                    {_R('len(list_intersect(a.s, b.s))::DOUBLE / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))')} AS jaccard
             FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        """,
+        "approximate": f"""
+            WITH cuts AS (
+                SELECT user_id, t FROM {_U},
+                (VALUES (TIMESTAMP '2024-01-15 06:00:00'),
+                        (TIMESTAMP '2024-01-15 18:00:00'),
+                        (TIMESTAMP '2024-01-19')) c(t)
+            ), binned AS (
+                SELECT user_id, t,
+                       to_timestamp(floor(epoch_us(t) / 172800000000)
+                                    * 172800) AS tb
+                FROM cuts
+            )
+            SELECT b.user_id,
+                   epoch_us(b.t) AS cutoff_us,
+                   count(e.event_id) AS cnt_approx,
+                   {_R('coalesce(sum(e.value), 0)/100.0')} AS sum_approx
+            FROM binned b
+            LEFT JOIN {_EC} e ON e.user_id = b.user_id AND e.ts <= b.tb
+            GROUP BY b.user_id, b.t
+        """,
+        "output_slice": f"""
+            WITH m AS (
+                SELECT user_id, event_type, count(*) AS c
+                FROM events WHERE ts <= {_EV} GROUP BY user_id, event_type
+            ), r AS (
+                SELECT user_id, event_type,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY c DESC, event_type ASC) AS rn
+                FROM m
+            )
+            SELECT u.user_id,
+                   max(CASE WHEN r.rn = 1 THEN r.event_type END) AS top1,
+                   max(CASE WHEN r.rn = 2 THEN r.event_type END) AS top2
+            FROM {_U} u
+            LEFT JOIN r ON r.user_id = u.user_id AND r.rn <= 2
+            GROUP BY u.user_id
+        """,
+        "temporal_cutoffs": f"""
+            WITH cuts AS (
+                SELECT user_id, t FROM {_U},
+                (VALUES (TIMESTAMP '2024-01-08'),
+                        (TIMESTAMP '2024-01-15'),
+                        (TIMESTAMP '2024-01-22')) c(t)
+            )
+            SELECT cu.user_id,
+                   epoch_us(cu.t) AS cutoff_us,
+                   count(e.event_id) AS cnt
+            FROM cuts cu
+            LEFT JOIN events e ON e.user_id = cu.user_id AND e.ts <= cu.t
+            GROUP BY cu.user_id, cu.t
+        """,
+        "custom_primitive": f"""
+            SELECT u.user_id,
+                   {_R('coalesce(sum(e.value * e.value), 0)/10000.0')} AS ssq
+            FROM {_U} u
+            LEFT JOIN {_EC} e ON e.user_id = u.user_id AND e.ts <= {_EV}
+            GROUP BY u.user_id
         """,
     }

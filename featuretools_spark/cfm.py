@@ -37,6 +37,7 @@ from featuretools_spark.features import (
     AggregationFeature,
     DirectFeature,
     FeatureBase,
+    FeatureOutputSlice,
     GroupByTransformFeature,
     IdentityFeature,
     TransformFeature,
@@ -52,6 +53,7 @@ def calculate_feature_matrix(
     instance_ids=None,
     training_window=None,
     include_cutoff_time: bool = True,
+    approximate=None,
     strategy: str = "join",
     cutoff_time_in_index: bool = True,
 ) -> DataFrame:
@@ -59,6 +61,11 @@ def calculate_feature_matrix(
 
     cutoff_time: None | scalar datetime/str | Spark DataFrame with
     (target-index column or 'instance_id', 'time', *pass_columns).
+    approximate: optional Timedelta/str — bin cutoff times down to
+    this window for AGGREGATION features (deliberate accuracy/speed
+    trade, reference cfm.py:234-276): expensive aggregates are
+    computed once per (instance, binned time) instead of per exact
+    cutoff. Identity/transform/direct features stay exact.
     Returns a DataFrame keyed by (instance, time) + one column per
     feature, named with reference-parity feature names.
     """
@@ -76,9 +83,16 @@ def calculate_feature_matrix(
     if instance_ids is not None:
         cutoffs = cutoffs.filter(F.col(index_col).isin(list(instance_ids)))
 
-    # ---- dedupe features by name, keep order ----
+    # ---- dedupe features by name, keep order; slices pull in bases ----
     ordered, seen = [], set()
+    slices = [f for f in features if isinstance(f, FeatureOutputSlice)]
+    expanded = []
     for f in features:
+        if isinstance(f, FeatureOutputSlice):
+            expanded.append(f.base_feature)
+        else:
+            expanded.append(f)
+    for f in expanded:
         n = f.get_name()
         if n not in seen:
             seen.add(n)
@@ -93,6 +107,8 @@ def calculate_feature_matrix(
         base_keys = cutoffs.select(index_col, CUTOFF_COL).distinct()
     matrix = base_keys
     matrix_is_bare = True
+
+    approx_td = Timedelta.parse(approximate) if approximate else None
 
     agg_feats = [f for f in ordered if isinstance(f, AggregationFeature)]
     direct_feats = [f for f in ordered if isinstance(f, DirectFeature)]
@@ -111,6 +127,18 @@ def calculate_feature_matrix(
         win = up if (up and not up.is_observation) else None
         nobs = int(up.value) if (up and up.is_observation) else None
         groups.setdefault((path_key, win, nobs), []).append(f)
+
+    if approx_td is not None and scalar_cutoff is None:
+        step = int(round(approx_td.to_seconds()))
+        binned_expr = F.timestamp_seconds(
+            F.floor(F.unix_micros(F.col(CUTOFF_COL)) / F.lit(step * 1_000_000))
+            * F.lit(step)
+        )
+        agg_keys = base_keys.select(
+            index_col, binned_expr.alias(CUTOFF_COL)
+        ).distinct()
+    else:
+        agg_keys = base_keys
 
     for (path_key, win, nobs), feats in groups.items():
         path = feats[0].relationship_path
@@ -136,14 +164,21 @@ def calculate_feature_matrix(
             )
         eff_window = win or training_window
         part = asof_aggregate(
-            child_df, key_col, time_col, base_keys, index_col, specs,
+            child_df, key_col, time_col, agg_keys, index_col, specs,
             include_cutoff_time=include_cutoff_time,
             training_window=eff_window,
             n_observations=nobs,
             strategy=strategy,
             scalar_cutoff=scalar_cutoff if strategy == "join" else None,
         )
-        if matrix_is_bare:
+        if approx_td is not None and scalar_cutoff is None:
+            # remap approx results onto exact cutoffs via the binned key
+            part = part.withColumnRenamed(CUTOFF_COL, "_ft_bin")
+            matrix = matrix.withColumn("_ft_bin", binned_expr).join(
+                part, on=[index_col, "_ft_bin"], how="left"
+            ).drop("_ft_bin")
+            matrix_is_bare = False
+        elif matrix_is_bare:
             # part carries exactly the base key set — skip the join
             matrix = part
             matrix_is_bare = False
@@ -251,8 +286,13 @@ def calculate_feature_matrix(
             how="left",
         )
         out_cols += [F.col(c) for c in pass_cols]
+    emitted = {f.get_name() for f in features if not isinstance(f, FeatureOutputSlice)}
     for f in ordered:
-        out_cols.append(F.col(internal[f.get_name()]).alias(f.get_name()))
+        if f.get_name() in emitted:
+            out_cols.append(F.col(internal[f.get_name()]).alias(f.get_name()))
+    for f in slices:
+        base_col = F.col(internal[f.base_feature.get_name()])
+        out_cols.append(F.element_at(base_col, f.n + 1).alias(f.get_name()))
     return matrix.select(*out_cols)
 
 

@@ -255,3 +255,37 @@ def dfs(
         strategy=strategy,
     )
     return fm, features
+
+
+def get_valid_primitives(entityset: EntitySet, target_dataframe_name: str,
+                         max_depth: int = 2):
+    """Which primitives would produce at least one feature for this
+    target (reference synthesis/get_valid_primitives.py:10)."""
+    from featuretools_spark.primitives import AGG_PRIMITIVES, TRANSFORM_PRIMITIVES
+
+    valid_aggs, valid_trans = [], []
+    for name in AGG_PRIMITIVES:
+        feats = build_features(
+            entityset, target_dataframe_name, agg_primitives=[name],
+            trans_primitives=[], where_primitives=[], max_depth=max_depth,
+        )
+        if any(
+            getattr(f, "primitive", None) is not None
+            and f.primitive.name == name
+            for f in feats
+        ):
+            valid_aggs.append(name)
+    for name, cls in TRANSFORM_PRIMITIVES.items():
+        if cls.n_inputs != 1 or getattr(cls, "strategy", "") == "pandas":
+            continue
+        feats = build_features(
+            entityset, target_dataframe_name, agg_primitives=[],
+            trans_primitives=[name], where_primitives=[], max_depth=1,
+        )
+        if any(
+            getattr(f, "primitive", None) is not None
+            and f.primitive.name == name
+            for f in feats
+        ):
+            valid_trans.append(name)
+    return valid_aggs, valid_trans

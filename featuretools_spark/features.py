@@ -334,6 +334,26 @@ class DirectFeature(FeatureBase):
         return f"{self.parent_entity}.{self.base_feature.get_name()}"
 
 
+class FeatureOutputSlice(FeatureBase):
+    """Select one output of a multi-output primitive
+    (reference feature_base.py:1012) — array element access."""
+
+    def __init__(self, base_feature: FeatureBase, n: int):
+        self.base_feature = base_feature
+        self.n = n
+        self.entity = base_feature.entity
+        self.es = getattr(base_feature, "es", None)
+        self._custom_name = None
+
+    def _deps(self):
+        return [self.base_feature]
+
+    def get_name(self):
+        if self._custom_name:
+            return self._custom_name
+        return f"{self.base_feature.get_name()}[{self.n}]"
+
+
 def Feature(es: EntitySet, table: str, column: str) -> IdentityFeature:
     """Convenience constructor mirroring ft.Feature(es[t].ww[c])."""
     return IdentityFeature(es, table, column)

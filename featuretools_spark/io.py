@@ -81,3 +81,49 @@ def backfill_with_checkpoints(
 def bucket_of(col, n_buckets: int):
     """Deterministic bucket id for an instance-key column."""
     return F.pmod(F.hash(col), F.lit(n_buckets))
+
+
+# ----------------------------------------------------------------------
+# EntitySet (de)serialization — parquet tables + JSON schema sidecar
+# (reference entityset/serialize.py:1-94 / deserialize.py:1-176)
+# ----------------------------------------------------------------------
+def es_to_parquet(es, out_dir: str) -> str:
+    """Write every table as parquet plus a data_description.json with
+    indexes / time indexes / secondary TIs / relationships."""
+    os.makedirs(out_dir, exist_ok=True)
+    desc = {"id": es.id, "tables": {}, "relationships": []}
+    for name, df in es.tables.items():
+        meta = es.meta[name]
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, name))
+        desc["tables"][name] = {
+            "index": meta.index,
+            "time_index": meta.time_index,
+            "secondary_time_index": meta.secondary_time_index,
+            "interesting_values": meta.interesting_values,
+        }
+    for r in es.relationships:
+        desc["relationships"].append(
+            [r.parent_name, r.parent_col, r.child_name, r.child_col]
+        )
+    with open(os.path.join(out_dir, "data_description.json"), "w") as fh:
+        json.dump(desc, fh, indent=1)
+    return out_dir
+
+
+def es_from_parquet(spark, in_dir: str):
+    """Reload an EntitySet written by es_to_parquet."""
+    from featuretools_spark.entityset import EntitySet
+
+    with open(os.path.join(in_dir, "data_description.json")) as fh:
+        desc = json.load(fh)
+    es = EntitySet(desc["id"])
+    for name, t in desc["tables"].items():
+        df = spark.read.parquet(os.path.join(in_dir, name))
+        es.add_dataframe(
+            name, df, index=t["index"], time_index=t.get("time_index"),
+            secondary_time_index=t.get("secondary_time_index") or None,
+        )
+        es.meta[name].interesting_values = t.get("interesting_values") or {}
+    for parent, pcol, child, ccol in desc["relationships"]:
+        es.add_relationship(parent, pcol, child, ccol)
+    return es

@@ -887,3 +887,68 @@ class NumFalseSinceLastTrue(_OrderedTwoStage):
         return joined.groupBy(*keys).agg(
             F.count(F.when((~F.col("_b")) & after, 1)).alias(out_name)
         )
+
+
+@agg_primitive
+class NMostCommonFrequency(AggregationPrimitive):
+    name = "n_most_common_frequency"
+    input_kinds = ("category",)
+    return_kind = "list"
+    strategy = "twostage"
+
+    def __init__(self, n=3):
+        self.n = n
+
+    def twostage(self, df, keys, input_cols, out_name, ctx):
+        v = input_cols[0]
+        counts = (
+            df.filter(F.col(v).isNotNull())
+            .groupBy(*keys, v)
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+        )
+        w = W.partitionBy(*keys).orderBy(F.desc("_cnt"), F.asc(v))
+        ranked = counts.withColumn("_rn", F.row_number().over(w)).filter(
+            F.col("_rn") <= self.n
+        )
+        return ranked.groupBy(*keys).agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_rn"), F.col("_cnt").alias("c")))
+            ).alias("_pairs")
+        ).select(
+            *keys,
+            F.transform(F.col("_pairs"), lambda p: p["c"]).alias(out_name),
+        )
+
+
+class _NumConsecutiveVsMean(_OrderedTwoStage):
+    default_value = 0
+    _cmp = "greater"
+
+    def twostage(self, df, keys, input_cols, out_name, ctx):
+        v = F.col(input_cols[0]).cast("double")
+        wk = W.partitionBy(*keys)
+        mean = F.avg(v).over(wk)
+        flag = (v > mean) if self._cmp == "greater" else (v < mean)
+        w = self._ordered_window(keys, ctx)
+        flagged = df.withColumn("_f", flag.cast("int"))
+        flagged = flagged.withColumn("_rn", F.row_number().over(w))
+        w2 = W.partitionBy(*keys, "_f").orderBy("_rn")
+        flagged = flagged.withColumn("_grp", F.col("_rn") - F.row_number().over(w2))
+        runs = (
+            flagged.filter(F.col("_f") == 1)
+            .groupBy(*keys, "_grp")
+            .agg(F.count(F.lit(1)).alias("_len"))
+        )
+        return runs.groupBy(*keys).agg(F.max("_len").alias(out_name))
+
+
+@agg_primitive
+class NumConsecutiveGreaterMean(_NumConsecutiveVsMean):
+    name = "num_consecutive_greater_mean"
+    _cmp = "greater"
+
+
+@agg_primitive
+class NumConsecutiveLessMean(_NumConsecutiveVsMean):
+    name = "num_consecutive_less_mean"
+    _cmp = "less"

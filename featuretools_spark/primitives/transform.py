@@ -1597,3 +1597,64 @@ class IsFirstWeekOfMonth(_DT):
         dow_first = F.dayofweek(first)
         wk = ((F.dayofmonth(inputs[0]) + dow_first - 2) / 7).cast("int") + 1
         return wk == 1
+
+
+@transform_primitive
+class NumberOfCommonWords(_Text):
+    name = "number_of_common_words"
+
+    COMMON = ("the", "and", "of", "to", "in", "is", "that", "for", "with",
+              "was", "it", "a", "an", "on", "as", "are", "at", "be", "this",
+              "have")
+
+    def expr(self, inputs, ctx):
+        w = F.split(F.lower(F.trim(inputs[0])), r"\s+")
+        return F.size(F.filter(w, lambda x: x.isin(*self.COMMON)))
+
+
+@transform_primitive
+class NumberOfWordsInQuotes(_Text):
+    name = "number_of_words_in_quotes"
+
+    def expr(self, inputs, ctx):
+        quoted = F.regexp_extract_all(inputs[0], F.lit('"([^"]*)"'), 1)
+        return F.aggregate(
+            F.transform(
+                quoted,
+                lambda q: F.when(F.trim(q) == "", 0).otherwise(
+                    F.size(F.split(F.trim(q), r"\s+"))
+                ),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+
+
+@transform_primitive
+class NumUniqueSeparators(_Text):
+    name = "num_unique_separators"
+
+    def expr(self, inputs, ctx):
+        seps = F.regexp_extract_all(
+            inputs[0], F.lit(r"[!\"#$%&'()*+,\-./:;<=>?@\[\\\]^_`{|}~\s]"), 0
+        )
+        return F.size(F.array_distinct(seps))
+
+
+@transform_primitive
+class UpperCaseWordCount(_Text):
+    name = "upper_case_word_count"
+
+    def expr(self, inputs, ctx):
+        return F.regexp_count(inputs[0], F.lit(r"\b[A-Z]+\b"))
+
+
+@transform_primitive
+class DateToTimeZone(_DT):
+    name = "date_to_timezone"
+    return_kind = "category"
+
+    def expr(self, inputs, ctx):
+        # timestamps in this engine are session-TZ (UTC) — constant by
+        # construction; a tz-aware source would carry its own column
+        return F.when(inputs[0].isNotNull(), F.lit("UTC"))
