@@ -42,15 +42,6 @@ def exact_duplicates(
     return out
 
 
-def _shingles(text_col, k: int = 5):
-    """Character k-shingles of the lowercased text as an array column."""
-    t = F.lower(text_col)
-    n = F.greatest(F.length(t) - (k - 1), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(1), n), lambda i: F.substring(t, 1, 0x7FFFFFFF).substr(i, F.lit(k))
-    )
-
-
 def shingles(text_col, k: int = 5):
     t = F.lower(text_col)
     n = F.greatest(F.length(t) - (k - 1), F.lit(1))
@@ -126,17 +117,6 @@ def lsh_candidate_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with(F.col("mh_a"), F.col("mh_b"), lambda x, y: x == y),
-                lambda eq: eq,
-            )
-        ).cast("double")
-        / F.lit(float(sig.select(F.size("minhash")).first()[0])
-                if False else None)
-    )
-    # avoid an action: num_perm is a parameter
     est = (
         F.size(
             F.filter(
