@@ -18,12 +18,18 @@ strategy="join" (default; pure JVM, whole-stage codegen):
     window t > cutoff-w; False → t < cutoff, window t >= cutoff-w.
 
 strategy="sortmerge" (vectorized Arrow kernel):
-    union events + cutoff rows, hash-partition by entity key,
-    applyInPandas sorts each entity's rows by time once and sweeps
-    cutoffs with numpy searchsorted + prefix aggregates —
-    per-entity work |events| + |cutoffs| (after the sort). Wins when
+    union events + cutoff rows tagged __is_cut, repartitionByRange on
+    the entity key, sortWithinPartitions(key, time), then ONE
+    mapInPandas pass per partition: group spans via searchsorted on
+    the sorted keys, cutoff windows via searchsorted on the sorted
+    times, aggregates via GLOBAL prefix arrays / reduceat — per-entity
+    work is O(log n) with no per-group pandas objects. Wins when
     cutoffs per entity are many (dense backfills). All math is
     vectorized numpy over Arrow batches — never per-row Python.
+    Skew note: a single entity heavier than one range partition stays
+    in one partition (keys cannot be split for holistic aggregates);
+    route such tables to strategy="join", where AQE skew-join splits
+    the hot key.
 
 Both return one row per cutoff row, with primitive default values
 filled for instances that have no qualifying events.
