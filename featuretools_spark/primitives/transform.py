@@ -1221,19 +1221,45 @@ class Percentile(_WindowTransform):
 
 
 class _Rolling(_WindowTransform):
-    """Rolling window over trailing `window_length` rows ending `gap`
-    rows before the current row (reference time_series/rolling_*.py;
-    row-based path of roll_series_with_gap, utils.py:10-60)."""
+    """Rolling window over a trailing `window_length` ending `gap`
+    before the current row (reference time_series/rolling_*.py,
+    roll_series_with_gap utils.py:10-60).
+
+    window_length/gap as ints → row-based frame (rowsBetween);
+    as duration strings ("3 days") → time-based frame (rangeBetween
+    over epoch-micros ordering), matching the reference's offset path.
+    """
 
     def __init__(self, window_length=3, gap=0, min_periods=1):
-        self.window_length = int(window_length)
-        self.gap = int(gap)
+        self.window_length = window_length
+        self.gap = gap
         self.min_periods = int(min_periods) if min_periods else 1
 
+    def _is_time_based(self):
+        return isinstance(self.window_length, str) or isinstance(self.gap, str)
+
     def _frame(self, ctx):
-        lo = -(self.gap + self.window_length) + 1
-        hi = -self.gap
-        return ctx.window().rowsBetween(lo, hi)
+        from featuretools_spark.timedelta import Timedelta
+        from pyspark.sql import Window as _W
+
+        if not self._is_time_based():
+            lo = -(int(self.gap) + int(self.window_length)) + 1
+            hi = -int(self.gap)
+            return ctx.window().rowsBetween(lo, hi)
+        length_us = int(Timedelta.parse(self.window_length).to_seconds() * 1e6)
+        gap_us = (
+            int(Timedelta.parse(self.gap).to_seconds() * 1e6)
+            if isinstance(self.gap, str) or self.gap
+            else 0
+        )
+        w = (
+            _W.partitionBy(*ctx.partition_cols)
+            if ctx.partition_cols
+            else _W.partitionBy()
+        )
+        ordered = w.orderBy(F.unix_micros(ctx.time.cast("timestamp")))
+        # window covers (t - gap - length, t - gap]
+        return ordered.rangeBetween(-(gap_us + length_us) + 1, -gap_us)
 
     _agg = None
 
