@@ -887,9 +887,14 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c.c_custkey
         """,
         "direct": f"""
+            -- point-in-time: an orders row dated after the cutoff is
+            -- filtered by _handle_time, so its direct values are NULL
             SELECT o.o_orderkey,
-                   {_R('CAST(floor(c.c_acctbal*100 + 0.5) AS BIGINT)/100.0')} AS cust_bal,
-                   c.c_mktsegment AS cust_seg
+                   CASE WHEN o.o_orderdate <= {_TP} THEN
+                     {_R('CAST(floor(c.c_acctbal*100 + 0.5) AS BIGINT)/100.0')}
+                   END AS cust_bal,
+                   CASE WHEN o.o_orderdate <= {_TP} THEN c.c_mktsegment
+                   END AS cust_seg
             FROM orders o
             LEFT JOIN customer c ON c.c_custkey = o.o_custkey
         """,

@@ -18,14 +18,18 @@ strategy="join" (default; pure JVM, whole-stage codegen):
     window t > cutoff-w; False → t < cutoff, window t >= cutoff-w.
 
 strategy="sortmerge" (vectorized Arrow kernel):
-    union events + cutoff rows tagged __is_cut, repartitionByRange on
-    the entity key, sortWithinPartitions(key, time), then ONE
-    mapInPandas pass per partition: group spans via searchsorted on
-    the sorted keys, cutoff windows via searchsorted on the sorted
-    times, aggregates via GLOBAL prefix arrays / reduceat — per-entity
-    work is O(log n) with no per-group pandas objects. Wins when
-    cutoffs per entity are many (dense backfills). All math is
-    vectorized numpy over Arrow batches — never per-row Python.
+    union events + per-cutoff WINDOW MARKERS (one row at the cutoff
+    time, one at the window start / key start), repartitionByRange on
+    the entity key, sortWithinPartitions(key, time, tiebreak), then
+    ONE mapInPandas pass per partition. Because markers sort into the
+    event stream, every window bound is read off a single cumulative
+    event count at the marker's sorted position — zero searching, zero
+    per-key Python: the whole kernel is O(partition) numpy (prefix
+    sums / reduceat). Wins when cutoffs per entity are many (dense
+    backfills). Primitives the kernel cannot vectorize (median,
+    num_unique, twostage holistics), non-numeric inputs, and
+    secondary-time-index masks are routed to strategy="join"
+    automatically and merged back on (instance, cutoff).
     Skew note: a single entity heavier than one range partition stays
     in one partition (keys cannot be split for holistic aggregates);
     route such tables to strategy="join", where AQE skew-join splits
@@ -103,10 +107,24 @@ def asof_aggregate(
     join-then-aggregate shape needed for per-row cutoffs.
     """
     if strategy == "sortmerge":
-        return _asof_sortmerge(
-            child, key_col, time_col, cutoffs, instance_col, specs,
-            cutoff_col, include_cutoff_time, training_window,
-        )
+        kern, rest = _split_kernel_specs(child, time_col, specs)
+        parts = []
+        if kern:
+            parts.append(_asof_sortmerge(
+                child, key_col, time_col, cutoffs, instance_col, kern,
+                cutoff_col, include_cutoff_time, training_window,
+                n_observations,
+            ))
+        if rest:
+            parts.append(_asof_join(
+                child, key_col, time_col, cutoffs, instance_col, rest,
+                cutoff_col, include_cutoff_time, training_window,
+                n_observations,
+            ))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.join(p, on=[instance_col, cutoff_col], how="full")
+        return out
     if scalar_cutoff is not None:
         return _asof_scalar(
             child, key_col, time_col, cutoffs, instance_col, specs,
@@ -165,6 +183,11 @@ def _asof_scalar(child, key_col, time_col, cutoffs, instance_col, specs,
         sub = ev
         if s.where_col:
             sub = sub.filter(F.col(s.where_col))
+        if s.sec_time_col:
+            # NULL values whose governing secondary time has not passed
+            sec_mask = F.col(s.sec_time_col) < cut_lit
+            for c in s.input_cols:
+                sub = sub.withColumn(c, F.when(sec_mask, F.col(c)))
         ctx2 = AggContext(time=F.col(time_col) if time_col else None,
                           cutoff=cut_lit)
         part = s.primitive.twostage(
@@ -250,10 +273,25 @@ def _asof_join(child, key_col, time_col, cutoffs, instance_col, specs,
         inner = cut.join(ev, cond, "inner")
         if s.where_col:
             inner = inner.filter(F.col(f"__ev.{s.where_col}"))
+        if n_observations is not None:
+            # same last-n-rows semantics as the expr path above
+            w2 = W.partitionBy(
+                F.col(f"__cut.{instance_col}"), F.col(f"__cut.{cutoff_col}")
+            ).orderBy(F.col(f"__ev.{time_col}").desc_nulls_last())
+            inner = inner.withColumn("__rn2", F.row_number().over(w2)).filter(
+                F.col("__rn2") <= n_observations
+            )
+        # secondary-time-index mask (reference entityset.py:1450-1455):
+        # values are NULL until their governing time has passed
+        sec_mask = (
+            F.col(f"__ev.{s.sec_time_col}") < F.col(f"__cut.{cutoff_col}")
+            if s.sec_time_col else None
+        )
         inner = inner.select(
             F.col(f"__cut.{instance_col}").alias(instance_col),
             F.col(f"__cut.{cutoff_col}").alias(cutoff_col),
-            *[F.col(f"__ev.{c}").alias(c) for c in s.input_cols],
+            *[_wrap_where(F.col(f"__ev.{c}"), sec_mask).alias(c)
+              for c in s.input_cols],
             *( [F.col(f"__ev.{time_col}").alias(time_col)]
                if time_col and time_col not in s.input_cols else [] ),
         )
@@ -280,41 +318,74 @@ def _fill_defaults(out: DataFrame, specs: list[AggSpec]) -> DataFrame:
 # strategy 2: sort-merge sweep in a vectorized Arrow kernel
 # ----------------------------------------------------------------------
 _KERNEL_PRIMS = {
-    "count", "sum", "mean", "min", "max", "std", "variance", "median",
-    "num_unique", "first", "last", "time_since_last", "time_since_first",
+    "count", "sum", "mean", "min", "max", "std", "variance",
+    "first", "last", "time_since_last", "time_since_first",
     "avg_time_between", "first_last_time_delta", "trend",
 }
+_NUMERIC_TYPES = (
+    "byte", "short", "integer", "long", "float", "double", "decimal",
+    "boolean",
+)
+
+
+def _split_kernel_specs(child, time_col, specs):
+    """Partition specs into (kernel-vectorizable, join-routed).
+
+    The Arrow kernel only takes primitives whose window aggregate
+    reduces to prefix sums / reduceat over doubles. Everything else —
+    holistic primitives (median, num_unique, mode, entropy, ...),
+    non-numeric inputs, secondary-time-index masks — routes to the
+    JVM join strategy and is merged back on (instance, cutoff), so
+    strategy='sortmerge' never raises and never falls back to
+    per-row Python.
+    """
+    if time_col is None:
+        return [], list(specs)
+    numeric_ok = {
+        f.name: f.dataType.typeName() in _NUMERIC_TYPES
+        for f in child.schema.fields
+    }
+    kern, rest = [], []
+    for s in specs:
+        ok = (
+            s.primitive.name in _KERNEL_PRIMS
+            and s.primitive.strategy == "expr"
+            and s.sec_time_col is None
+            and all(numeric_ok.get(c, False) for c in s.input_cols
+                    if s.primitive.name != "count")
+        )
+        (kern if ok else rest).append(s)
+    return kern, rest
 
 
 def _asof_sortmerge(child, key_col, time_col, cutoffs, instance_col, specs,
-                    cutoff_col, include_cutoff_time, training_window):
+                    cutoff_col, include_cutoff_time, training_window,
+                    n_observations=None):
     """Range-partition + secondary-sort + one vectorized Arrow sweep.
 
-    Physical shape (the north-rule kernel): union cutoff rows into the
-    event stream tagged __is_cut, repartitionByRange on the entity key
-    (co-locates each entity, keeps ranges balanced), sortWithinPartitions
-    (key, time), then ONE mapInPandas pass per partition. Inside the
-    kernel everything is numpy over the whole partition: group spans
-    are located with searchsorted on the sorted key column, cutoff
-    windows with searchsorted on the sorted time column, and the
-    aggregates evaluate via GLOBAL prefix arrays / reduceat — per-group
-    work is O(log n), no per-group pandas objects (the naive
-    groupBy().applyInPandas shape is ~7x slower at 20k groups).
-    Memory is bounded by the range partition size (tune
-    spark.sql.shuffle.partitions), not by the biggest entity alone.
+    Physical shape (the north-rule kernel): the cutoff table is turned
+    into WINDOW MARKERS — a hi-marker at the cutoff time and a
+    lo-marker at (cutoff - training_window), or at -inf when the
+    window is unbounded — and unioned into the event stream. One
+    repartitionByRange on the entity key co-locates each entity while
+    keeping ranges balanced, sortWithinPartitions(key, time, tiebreak)
+    interleaves markers with events at exactly the window-boundary
+    position (the tiebreak column encodes include_cutoff_time), then
+    ONE mapInPandas pass per partition reads every window bound off a
+    cumulative event count at the marker's position:
+
+        hi[i] = (# events sorted before cutoff-marker i)
+        lo[i] = (# events sorted before lo-marker i)
+
+    No per-key loop, no searchsorted — the kernel is O(partition)
+    numpy end-to-end; aggregates evaluate via global prefix arrays /
+    reduceat over [lo, hi) index pairs. use_previous in observations
+    is the clamp lo = max(lo, hi - n_obs). Memory is bounded by the
+    range partition size (tune spark.sql.shuffle.partitions), not by
+    the biggest entity alone.
     """
-    for s in specs:
-        if s.primitive.name not in _KERNEL_PRIMS:
-            raise ValueError(
-                f"sortmerge kernel does not support {s.primitive.name!r}; "
-                f"use strategy='join'"
-            )
     if time_col is None:
         raise ValueError("sortmerge strategy requires a time index")
-    if any(s.sec_time_col for s in specs):
-        raise ValueError(
-            "secondary-time-index masking requires strategy='join'"
-        )
 
     specs = [
         AggSpec(s.out_name, s.primitive,
@@ -322,49 +393,56 @@ def _asof_sortmerge(child, key_col, time_col, cutoffs, instance_col, specs,
                 s.where_col)
         for s in specs
     ]
-    numeric_ok = dict(
-        (f.name, f.dataType.typeName() in (
-            "byte", "short", "integer", "long", "float", "double", "decimal",
-            "boolean",
-        ))
-        for f in child.schema.fields
-    )
-    for s in specs:
-        for c in s.input_cols:
-            if not numeric_ok.get(c, False):
-                raise ValueError(
-                    f"sortmerge kernel needs numeric input, got {c!r} for "
-                    f"{s.primitive.name!r}; use strategy='join'"
-                )
-
     value_cols = sorted({c for s in specs for c in s.input_cols})
     where_cols = sorted({s.where_col for s in specs if s.where_col})
 
-    ev = child.select(
-        F.col(key_col).alias("__k"),
-        F.unix_micros(F.col(time_col).cast("timestamp")).alias("__t"),
-        F.lit(0).alias("__is_cut"),
-        *[F.col(c).cast("double").alias(f"__v_{c}") for c in value_cols],
-        *[F.col(c).cast("boolean").alias(f"__w_{c}") for c in where_cols],
-    )
-    cut = cutoffs.select(
-        F.col(instance_col).alias("__k"),
-        F.unix_micros(F.col(cutoff_col).cast("timestamp")).alias("__t"),
-        F.lit(1).alias("__is_cut"),
-        *[F.lit(None).cast("double").alias(f"__v_{c}") for c in value_cols],
-        *[F.lit(None).cast("boolean").alias(f"__w_{c}") for c in where_cols],
-    )
-    unioned = (
-        ev.unionByName(cut)
-        .repartitionByRange(F.col("__k"))
-        .sortWithinPartitions("__k", "__t")
-    )
-
+    # tiebreak: events sort at 0. include_cutoff_time=True wants events
+    # at t == cutoff INSIDE the window -> markers sort after ties (+1);
+    # False wants them outside -> markers sort before ties (-1). The
+    # same sign is correct for lo-markers (window is t > cutoff-w when
+    # inclusive, t >= cutoff-w when exclusive: _time_predicate above).
+    srt = 1 if include_cutoff_time else -1
     window_us = (
         int(round(training_window.to_seconds() * 1_000_000))
         if training_window
         else None
     )
+    NEG_INF = -(1 << 62)
+
+    nulls = [
+        *[F.lit(None).cast("double").alias(f"__v_{c}") for c in value_cols],
+        *[F.lit(None).cast("boolean").alias(f"__w_{c}") for c in where_cols],
+    ]
+    ev = child.filter(F.col(time_col).isNotNull()).select(
+        F.col(key_col).alias("__k"),
+        F.unix_micros(F.col(time_col).cast("timestamp")).alias("__t"),
+        F.lit(0).cast("byte").alias("__srt"),
+        F.lit(0).cast("byte").alias("__tag"),
+        *[F.col(c).cast("double").alias(f"__v_{c}") for c in value_cols],
+        *[F.col(c).cast("boolean").alias(f"__w_{c}") for c in where_cols],
+    )
+    cut_t = F.unix_micros(F.col(cutoff_col).cast("timestamp"))
+    hi_rows = cutoffs.select(
+        F.col(instance_col).alias("__k"),
+        cut_t.alias("__t"),
+        F.lit(srt).cast("byte").alias("__srt"),
+        F.lit(1).cast("byte").alias("__tag"),
+        *nulls,
+    )
+    lo_t = (cut_t - F.lit(window_us)) if window_us is not None else F.lit(NEG_INF)
+    lo_rows = cutoffs.select(
+        F.col(instance_col).alias("__k"),
+        lo_t.cast("long").alias("__t"),
+        F.lit(srt).cast("byte").alias("__srt"),
+        F.lit(2).cast("byte").alias("__tag"),
+        *nulls,
+    )
+    unioned = (
+        ev.unionByName(hi_rows).unionByName(lo_rows)
+        .repartitionByRange(F.col("__k"))
+        .sortWithinPartitions("__k", "__t", "__srt")
+    )
+
     spec_rows = [
         (s.out_name, s.primitive.name, s.input_cols, s.where_col) for s in specs
     ]
@@ -372,46 +450,36 @@ def _asof_sortmerge(child, key_col, time_col, cutoffs, instance_col, specs,
     out_fields = f"`{instance_col}` {key_type.dataType.simpleString()}, __t_out long"
     for s in specs:
         out_fields += f", `{s.out_name}` double"
-    inc = include_cutoff_time
-    _LOOP_ONLY = {"median", "num_unique"}
+    nobs = n_observations
 
     def merge_partition(batches):
         parts = list(batches)
         if not parts:
             return
         pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
-        is_cut = pdf["__is_cut"].values == 1
-        if not is_cut.any():
+        tag = pdf["__tag"].to_numpy()
+        is_ev = tag == 0
+        pos_cut = np.flatnonzero(tag == 1)
+        nC = len(pos_cut)
+        if nC == 0:
             return
-        evp = pdf[~is_cut]
-        cutp = pdf[is_cut]
-        ek = evp["__k"].values
-        et = evp["__t"].values.astype(np.int64)
-        ck = cutp["__k"].values
-        ct = cutp["__t"].values.astype(np.int64)
-        nC = len(ct)
+        # every window bound is a cumulative event count at a marker's
+        # sorted position: cum_ev[j] = # event rows at positions <= j,
+        # and a marker at j is not an event, so cum_ev[j] = # events
+        # sorted strictly before it = its bound in event-index space.
+        cum_ev = np.cumsum(is_ev, dtype=np.int64)
+        hi = cum_ev[pos_cut]
+        # the i-th lo-marker corresponds to the i-th cutoff: both
+        # sequences sort by (key, time + const) so their global order
+        # is identical per key and across keys.
+        lo = cum_ev[np.flatnonzero(tag == 2)]
+        if nobs is not None:
+            lo = np.maximum(lo, hi - nobs)
 
-        # group spans: cutoffs and events are both key-sorted
-        uk, cg_start = np.unique(ck, return_index=True)
-        cg_end = np.append(cg_start[1:], nC)
-        eg_lo = np.searchsorted(ek, uk, side="left")
-        eg_hi = np.searchsorted(ek, uk, side="right")
-
-        side_hi = "right" if inc else "left"
-        side_lo = "right" if inc else "left"
-        hi = np.empty(nC, dtype=np.int64)
-        lo = np.empty(nC, dtype=np.int64)
-        for g in range(len(uk)):
-            cs = slice(cg_start[g], cg_end[g])
-            gl, gh = eg_lo[g], eg_hi[g]
-            seg = et[gl:gh]
-            hi[cs] = gl + np.searchsorted(seg, ct[cs], side=side_hi)
-            if window_us is not None:
-                lo[cs] = gl + np.searchsorted(
-                    seg, ct[cs] - window_us, side=side_lo
-                )
-            else:
-                lo[cs] = gl
+        evp = pdf[is_ev]
+        et = evp["__t"].to_numpy()
+        ck = pdf["__k"].to_numpy()[pos_cut]
+        ct = pdf["__t"].to_numpy()[pos_cut]
 
         out = {instance_col: ck, "__t_out": ct}
         val_cache = {}
@@ -485,24 +553,6 @@ def _asof_sortmerge(child, key_col, time_col, cutoffs, instance_col, specs,
 
         for out_name, pname, in_cols, wcol in spec_rows:
             col = in_cols[0] if in_cols else None
-            if pname in _LOOP_ONLY:
-                v, _ = vals(col, wcol)
-                res = np.full(nC, np.nan)
-                for i in range(nC):
-                    l, h = lo[i], hi[i]
-                    if h <= l:
-                        continue
-                    seg = v[l:h]
-                    seg = seg[~np.isnan(seg)]
-                    if len(seg) == 0:
-                        continue
-                    if pname == "median":
-                        res[i] = float(np.median(seg))
-                    else:
-                        res[i] = float(len(np.unique(seg)))
-                out[out_name] = res
-                continue
-
             p, v, wmask = prefixes(col, wcol)
             n = p["cnt"][hi] - p["cnt"][lo]
             has = n > 0

@@ -32,7 +32,7 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from featuretools_spark.asof import CUTOFF_COL, AggSpec, asof_aggregate
-from featuretools_spark.entityset import EntitySet
+from featuretools_spark.entityset import LTI_COLUMN_NAME, EntitySet
 from featuretools_spark.features import (
     AggregationFeature,
     DirectFeature,
@@ -162,7 +162,16 @@ def calculate_feature_matrix(
                 AggSpec(internal[f.get_name()], f.primitive, in_cols,
                         where_col, sec_time_col)
             )
-        eff_window = win or training_window
+        # reference applies BOTH filters (ES pre-filtered by
+        # training_window, then use_previous): with fixed-duration
+        # windows that composes to the more restrictive of the two
+        if win and training_window:
+            eff_window = (
+                win if win.to_seconds() <= training_window.to_seconds()
+                else training_window
+            )
+        else:
+            eff_window = win or training_window
         part = asof_aggregate(
             child_df, key_col, time_col, agg_keys, index_col, specs,
             include_cutoff_time=include_cutoff_time,
@@ -197,11 +206,6 @@ def calculate_feature_matrix(
     static_direct = [f for f in direct_feats if _is_static(f.base_feature)]
     dynamic_direct = [f for f in direct_feats if not _is_static(f.base_feature)]
 
-    if static_direct or other_feats or dynamic_direct:
-        # join FK columns of the target onto the matrix (needed for
-        # direct features and identity/transform inputs)
-        pass
-
     if static_direct:
         by_rel: dict = {}
         for f in static_direct:
@@ -217,14 +221,54 @@ def calculate_feature_matrix(
                 es, rel.parent_name, parent_df,
                 [f.base_feature for f in feats], pti,
             )
+            sec_by_feat = {
+                internal[f.get_name()]: _sec_governing_col(
+                    es, rel.parent_name, f.base_feature
+                )
+                for f in feats
+            }
+            need_sec = sorted({c for c in sec_by_feat.values() if c})
+            has_lti = (
+                es.meta[rel.parent_name].last_time_index
+                and LTI_COLUMN_NAME in parent_df.columns
+            )
             sel = parent_df.select(
                 F.col(rel.parent_col).alias(rel.child_col),
                 *[
                     F.col(c).alias(internal[f.get_name()])
                     for c, f in zip(cols, feats)
                 ],
+                *([F.col(pti).alias("_ft_par_ti")] if pti else []),
+                *([F.col(LTI_COLUMN_NAME).alias("_ft_par_lti")]
+                  if has_lti else []),
+                *[F.col(c).alias(f"_ft_psec_{c}") for c in need_sec],
             )
             matrix = matrix.join(F.broadcast(sel), on=rel.child_col, how="left")
+            # point-in-time mask (reference _handle_time filters EVERY
+            # dataframe to t <= cutoff): a parent row "from the future"
+            # contributes NULL, not a value; secondary-time-index
+            # columns stay NULL until their governing time has passed
+            for f in feats:
+                cname = internal[f.get_name()]
+                cond = None
+                if pti:
+                    cond = _pit_mask(
+                        F.col("_ft_par_ti"), F.col(CUTOFF_COL),
+                        include_cutoff_time, training_window,
+                        lti=F.col("_ft_par_lti") if has_lti else None,
+                    )
+                sec = sec_by_feat[cname]
+                if sec:
+                    smask = F.col(f"_ft_psec_{sec}") < F.col(CUTOFF_COL)
+                    cond = smask if cond is None else (cond & smask)
+                if cond is not None:
+                    matrix = matrix.withColumn(
+                        cname, F.when(cond, F.col(cname))
+                    )
+            matrix = matrix.drop(
+                "_ft_par_ti", "_ft_par_lti",
+                *[f"_ft_psec_{c}" for c in need_sec],
+            )
         matrix = matrix.drop(
             *{f.relationship.child_col for f in static_direct}
         )
@@ -274,6 +318,53 @@ def calculate_feature_matrix(
             [CUTOFF_COL] if CUTOFF_COL in sel.columns else []
         )
         matrix = matrix.join(sel, on=join_keys, how="left")
+
+    # ---- target-grain point-in-time mask ----
+    # reference _handle_time (entityset.py:1407-1457) filters the
+    # TARGET frame too: a cutoff earlier than the row's own time index
+    # yields NULL identity/transform/direct values (the matrix row
+    # survives — only aggregations, which never read the target row,
+    # keep their defaults); secondary-time-index columns of the target
+    # are NULLed while sec_time >= cutoff.
+    non_agg = [f for f in ordered if not isinstance(f, AggregationFeature)]
+    tti = es.time_index(target)
+    tgt_sec = {
+        internal[f.get_name()]: _sec_governing_col(es, target, f)
+        for f in non_agg
+    }
+    need_tsec = sorted({c for c in tgt_sec.values() if c})
+    if non_agg and (tti or need_tsec):
+        tgt_has_lti = (
+            es.meta[target].last_time_index
+            and LTI_COLUMN_NAME in es[target].columns
+        )
+        tsel = es[target].select(
+            index_col,
+            *([F.col(tti).alias("_ft_tgt_ti")] if tti else []),
+            *([F.col(LTI_COLUMN_NAME).alias("_ft_tgt_lti")]
+              if tgt_has_lti else []),
+            *[F.col(c).alias(f"_ft_tsec_{c}") for c in need_tsec],
+        )
+        matrix = matrix.join(tsel, on=index_col, how="left")
+        tcond = (
+            _pit_mask(F.col("_ft_tgt_ti"), F.col(CUTOFF_COL),
+                      include_cutoff_time, training_window,
+                      lti=F.col("_ft_tgt_lti") if tgt_has_lti else None)
+            if tti else None
+        )
+        for f in non_agg:
+            cname = internal[f.get_name()]
+            cond = tcond
+            sec = tgt_sec[cname]
+            if sec:
+                smask = F.col(f"_ft_tsec_{sec}") < F.col(CUTOFF_COL)
+                cond = smask if cond is None else (cond & smask)
+            if cond is not None:
+                matrix = matrix.withColumn(cname, F.when(cond, F.col(cname)))
+        matrix = matrix.drop(
+            "_ft_tgt_ti", "_ft_tgt_lti",
+            *[f"_ft_tsec_{c}" for c in need_tsec],
+        )
 
     # ---- final projection: rename + attach pass columns ----
     out_cols = [F.col(index_col), F.col(CUTOFF_COL).alias("time")]
@@ -392,25 +483,50 @@ def _child_frame(es, path):
     return df, key_col, time_col
 
 
-def _secondary_mask_col(es, agg_feature):
-    """If any identity column feeding this aggregation is listed in the
-    child's secondary_time_index, return the governing time column —
-    its values are only valid once that time has passed."""
-    sec = es.meta[agg_feature.child_entity].secondary_time_index or {}
+def _pit_mask(time_col, cutoff, include_cutoff_time, training_window,
+              lti=None):
+    """Column-expression form of the reference's _handle_time row filter
+    (entityset.py:1407-1447): keep t <= cutoff (or <), and inside the
+    training window — where a row's last_time_index falling in the
+    window also keeps it (child activity makes the row 'current')."""
+    pred = time_col <= cutoff if include_cutoff_time else time_col < cutoff
+    if training_window is not None:
+        start = training_window.subtract_from(cutoff)
+        wmask = time_col > start if include_cutoff_time else time_col >= start
+        if lti is not None:
+            lmask = lti > start if include_cutoff_time else lti >= start
+            wmask = wmask | lmask
+        pred = pred & wmask
+    return pred
+
+
+def _sec_governing_col(es, table, feature):
+    """Return the secondary-time-index column governing any identity
+    column of `table` feeding `feature` (values are only valid once
+    that time has passed — reference entityset.py:1450-1455)."""
+    sec = es.meta[table].secondary_time_index or {}
     if not sec:
         return None
     id_cols = set()
 
     def walk(f):
-        if isinstance(f, IdentityFeature):
+        if isinstance(f, IdentityFeature) and f.entity == table:
             id_cols.add(f.column)
         for d in f.get_dependencies():
             walk(d)
 
-    for b in agg_feature.base_features:
-        walk(b)
+    walk(feature)
     for tcol, cols in sec.items():
         if id_cols & set(cols):
+            return tcol
+    return None
+
+
+def _secondary_mask_col(es, agg_feature):
+    """Secondary-TI mask column for an aggregation's child inputs."""
+    for b in agg_feature.base_features:
+        tcol = _sec_governing_col(es, agg_feature.child_entity, b)
+        if tcol:
             return tcol
     return None
 
@@ -438,13 +554,21 @@ def _materialize_features(es, table, df, feats, time_col,
     (adding CUTOFF_COL and possibly duplicating rows per cutoff).
     """
     needs_cutoff = any(_uses_calc_time(f) for f in feats)
+    precomputed: dict = {}
     if needs_cutoff:
         if cutoff_frame is None:
             raise ValueError("uses_calc_time feature outside cutoff context")
-        # window transforms must be computed before the cutoff join
-        win_feats = [f for f in feats if _uses_full_df(f)]
+        # window transforms must be computed BEFORE the cutoff join
+        # duplicates rows per cutoff (a cum_sum evaluated after would
+        # be inflated by the number of cutoffs per instance) — register
+        # their materialized columns so compile_feat reuses them
+        # instead of recompiling the Window expression post-join
+        win_feats = [f for f in feats if _uses_full_df(f)
+                     and not _uses_calc_time(f)]
         if win_feats:
-            df, _ = _materialize_features(es, table, df, win_feats, time_col)
+            df, wcols = _materialize_features(es, table, df, win_feats,
+                                              time_col)
+            precomputed = {f.get_name(): c for f, c in zip(win_feats, wcols)}
         if CUTOFF_COL not in df.columns:
             df = df.join(cutoff_frame, on=index_col, how="inner")
 
@@ -464,7 +588,7 @@ def _materialize_features(es, table, df, feats, time_col,
     expr_feats = [f for f in feats if f not in pandas_feats]
 
     out_cols = []
-    new_cols = {}
+    new_cols = dict(precomputed)
 
     def compile_feat(f) -> Column:
         name = f.get_name()
@@ -487,6 +611,9 @@ def _materialize_features(es, table, df, feats, time_col,
     global _MAT_COUNTER
     results = {}
     for f in expr_feats:
+        if f.get_name() in new_cols:  # precomputed pre-cutoff-join
+            results[f.get_name()] = new_cols[f.get_name()]
+            continue
         c = compile_feat(f)
         _MAT_COUNTER += 1
         cname = f"_ft_m{_MAT_COUNTER}"
@@ -495,6 +622,9 @@ def _materialize_features(es, table, df, feats, time_col,
         results[f.get_name()] = cname
 
     for f in pandas_feats:
+        if f.get_name() in new_cols:  # precomputed pre-cutoff-join
+            results[f.get_name()] = new_cols[f.get_name()]
+            continue
         base_cols = []
         for b in f.base_features:
             c = compile_feat(b)

@@ -137,6 +137,74 @@ def test_token_passthrough_equality(spark, seq_es):
     assert orig == got
 
 
+def _assert_close(a, b):
+    assert set(a) == set(b)
+    bad = []
+    for k in a:
+        for x, y in zip(a[k], b[k]):
+            if x is None or y is None:
+                if x != y:
+                    bad.append((k, a[k], b[k]))
+            elif abs(float(x) - float(y)) > 1e-6:
+                bad.append((k, a[k], b[k]))
+    assert not bad, bad[:5]
+
+
+@pytest.mark.parametrize("include_cutoff", [True, False])
+@pytest.mark.parametrize("window", [None, "3 days"])
+def test_sortmerge_matches_join_windows(spark, seq_es, include_cutoff, window):
+    """Kernel parity across the 4 window-boundary modes: the lo/hi
+    marker tiebreaks must reproduce _time_predicate exactly."""
+    es, seqs = seq_es
+    cuts = make_cutoffs(spark, seqs, per_entity=3)
+    n_tok = IdentityFeature(es, "sequences", "n_tok")
+    did = IdentityFeature(es, "sequences", "doc_id")
+    src = IdentityFeature(es, "sequences", "source")
+    feats = [
+        AggregationFeature(did, "entities", "count", es=es),
+        AggregationFeature(n_tok, "entities", "sum", es=es),
+        AggregationFeature(n_tok, "entities", "std", es=es),
+        AggregationFeature(n_tok, "entities", "min", es=es),
+        AggregationFeature(n_tok, "entities", "max", es=es),
+        # routed to the join strategy inside strategy='sortmerge'
+        AggregationFeature(n_tok, "entities", "median", es=es),
+        AggregationFeature(src, "entities", "num_unique", es=es),
+        # where-clause through the kernel mask path
+        AggregationFeature(n_tok, "entities", "sum", es=es,
+                           where=(src == "web")).rename("sum_web"),
+    ]
+    cols = [f.get_name() for f in feats]
+    kw = dict(cutoff_time=cuts, include_cutoff_time=include_cutoff,
+              training_window=window)
+    a = _fm_dict(fts.calculate_feature_matrix(feats, es, strategy="join",
+                                              **kw), cols)
+    b = _fm_dict(fts.calculate_feature_matrix(feats, es, strategy="sortmerge",
+                                              **kw), cols)
+    _assert_close(a, b)
+
+
+def test_sortmerge_matches_join_n_observations(spark, seq_es):
+    """use_previous='N observations' in the kernel is the clamp
+    lo = max(lo, hi - n): must equal the join strategy's row_number."""
+    es, seqs = seq_es
+    cuts = make_cutoffs(spark, seqs, per_entity=3)
+    n_tok = IdentityFeature(es, "sequences", "n_tok")
+    feats = [
+        AggregationFeature(n_tok, "entities", "sum", es=es,
+                           use_previous="5 observations"),
+        AggregationFeature(n_tok, "entities", "mean", es=es,
+                           use_previous="5 observations"),
+        AggregationFeature(n_tok, "entities", "median", es=es,
+                           use_previous="5 observations"),
+    ]
+    cols = [f.get_name() for f in feats]
+    a = _fm_dict(fts.calculate_feature_matrix(feats, es, cutoff_time=cuts,
+                                              strategy="join"), cols)
+    b = _fm_dict(fts.calculate_feature_matrix(feats, es, cutoff_time=cuts,
+                                              strategy="sortmerge"), cols)
+    _assert_close(a, b)
+
+
 def test_sortmerge_matches_join_on_sequences(spark, seq_es):
     es, seqs = seq_es
     cuts = make_cutoffs(spark, seqs, per_entity=3)
