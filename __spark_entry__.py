@@ -64,6 +64,9 @@ def _es_tpch(spark: SparkSession, sf_dir: str) -> fts.EntitySet:
     lineitem = (
         spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         .withColumn("l_extendedprice", _cents("l_extendedprice"))
+        # discounts are multiples of 0.01: integer basis points make
+        # cross-engine float means exact at round4 half-boundaries
+        .withColumn("l_discount", _cents("l_discount"))
         .withColumn("_li_id", F.monotonically_increasing_id())
     )
     es = fts.EntitySet("tpch_es")
@@ -372,6 +375,58 @@ def q_dfs_depth1(spark, sf_dir):
     return _r4(out, ["sum_v", "mean_v", "std_v", "max_v", "min_v"])
 
 
+def q_dfs_depth2(spark, sf_dir):
+    """full depth-2 DFS walk over customer<-orders<-lineitem: stacked
+    aggregations (MEAN(orders.SUM(lineitem.x))), deep-path aggregations
+    (SUM(lineitem.x) straight to customer), and aggregations of direct
+    features (SUM(lineitem.orders.o_totalprice)) — the reference
+    _run_dfs enumeration (deep_feature_synthesis.py:382-531)."""
+    es = _es_tpch(spark, sf_dir)
+    feats = fts.dfs(
+        entityset=es, target_dataframe_name="customer", features_only=True,
+        agg_primitives=["sum", "mean", "count"], trans_primitives=[],
+        ignore_columns={
+            "lineitem": ["l_partkey", "l_suppkey", "l_linenumber",
+                         "l_tax", "l_returnflag", "l_linestatus"],
+            "customer": ["c_name", "c_nationkey"],
+        },
+        max_depth=2,
+    )
+    fm = fts.calculate_feature_matrix(feats, es, cutoff_time=TPCH_CUTOFF)
+    out = _sel(fm, "c_custkey", {
+        "c_acctbal": "cb",
+        "c_mktsegment": "seg",
+        "SUM(orders.o_totalprice)": "s_tp",
+        "MEAN(orders.o_totalprice)": "m_tp",
+        "COUNT(orders)": "c_o",
+        "SUM(lineitem.l_quantity)": "s_qty",
+        "SUM(lineitem.l_extendedprice)": "s_ext",
+        "SUM(lineitem.l_discount)": "s_disc",
+        "MEAN(lineitem.l_quantity)": "m_qty",
+        "MEAN(lineitem.l_extendedprice)": "m_ext",
+        "MEAN(lineitem.l_discount)": "m_disc",
+        "COUNT(lineitem)": "c_l",
+        "SUM(orders.MEAN(lineitem.l_quantity))": "s_o_mqty",
+        "SUM(orders.MEAN(lineitem.l_extendedprice))": "s_o_mext",
+        "SUM(orders.MEAN(lineitem.l_discount))": "s_o_mdisc",
+        "MEAN(orders.SUM(lineitem.l_quantity))": "m_o_sqty",
+        "MEAN(orders.SUM(lineitem.l_extendedprice))": "m_o_sext",
+        "MEAN(orders.SUM(lineitem.l_discount))": "m_o_sdisc",
+        "MEAN(orders.MEAN(lineitem.l_quantity))": "m_o_mqty",
+        "MEAN(orders.MEAN(lineitem.l_extendedprice))": "m_o_mext",
+        "MEAN(orders.MEAN(lineitem.l_discount))": "m_o_mdisc",
+        "MEAN(orders.COUNT(lineitem))": "m_o_cli",
+        "SUM(lineitem.orders.o_totalprice)": "s_lo_tp",
+        "MEAN(lineitem.orders.o_totalprice)": "m_lo_tp",
+    })
+    out = _r4(out, ["m_tp", "s_disc", "m_qty", "m_ext", "m_disc",
+                    "s_o_mqty", "s_o_mext", "s_o_mdisc",
+                    "m_o_sqty", "m_o_sext", "m_o_sdisc",
+                    "m_o_mqty", "m_o_mext", "m_o_mdisc", "m_o_cli",
+                    "s_qty", "m_lo_tp"])
+    return out
+
+
 def q_use_previous_obs(spark, sf_dir):
     """observation-count window: mean over the last 3 events per user."""
     es = _es_events(spark, sf_dir)
@@ -435,6 +490,37 @@ def q_engine_transforms(spark, sf_dir):
     )
     out = _scale(out, ["lag_v", "cum_by_type"])
     return _r4(out, ["lag_v", "cum_by_type"])
+
+
+def q_ewm_by_user(spark, sf_dir):
+    """exponential_weighted_average per user: the pandas-kernel path
+    partitioned by the entity key (scale-safe applyInPandas — one
+    group per user, never a global single group)."""
+    from featuretools_spark.features import GroupByTransformFeature
+    from featuretools_spark.primitives.transform import (
+        ExponentialWeightedAverage,
+    )
+
+    es = _es_events(spark, sf_dir)
+    v = IdentityFeature(es, "events", "value")
+    uid = IdentityFeature(es, "events", "user_id")
+    ewm = GroupByTransformFeature(
+        ExponentialWeightedAverage(com=0.5), [v], groupby=uid
+    )
+    fm = fts.calculate_feature_matrix(
+        [ewm], es, cutoff_time=dt.datetime(2024, 3, 1)
+    )
+    out = fm.select(
+        F.col("event_id"),
+        (_q(ewm.get_name()) / 100.0).alias("ewm_v"),
+    )
+    # EWM values are dyadic rationals landing EXACTLY on .00005
+    # boundaries; pandas' recurrence and the oracle's explicit weighted
+    # sum differ by ~1e-12 there, so shift the rounding boundary by an
+    # epsilon on BOTH sides instead of plain half-up
+    return out.withColumn(
+        "ewm_v", F.floor(F.col("ewm_v") * 1e4 + 0.5 + 1e-6) / 1e4
+    )
 
 
 def q_lti(spark, sf_dir):
@@ -700,9 +786,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "window_transforms": q_window_transforms,
         "dfs_depth1": q_dfs_depth1,
+        "dfs_depth2": q_dfs_depth2,
         "use_previous_obs": q_use_previous_obs,
         "exclude_cutoff": q_exclude_cutoff,
         "engine_transforms": q_engine_transforms,
+        "ewm_by_user": q_ewm_by_user,
         "lti": q_lti,
         "n_most_common": q_n_most_common,
         "dedup_exact": q_dedup_exact,
@@ -882,6 +970,7 @@ def oracle_sql() -> dict[str, str]:
                    {_R('avg(l.l_extendedprice)/100.0')} AS mean_price
             FROM customer c
             LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                AND o.o_orderdate <= {_TP}
             LEFT JOIN lc l ON l.l_orderkey = o.o_orderkey
                 AND l.l_shipdate <= {_TP}
             GROUP BY c.c_custkey
@@ -948,6 +1037,95 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN {_EC} e ON e.user_id = u.user_id AND e.ts <= {_EV}
             GROUP BY u.user_id
         """,
+        "dfs_depth2": f"""
+            -- depth-2 DFS walk: every frame PIT-filtered at the cutoff
+            -- (orders AND the orders hop under lineitem), inner
+            -- aggregates at the orders grain with engine defaults
+            -- (count/sum -> 0), then re-aggregated per customer
+            WITH o AS (
+                SELECT o_orderkey, o_custkey,
+                       CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS tp
+                FROM orders WHERE o_orderdate <= {_TP}
+            ),
+            l AS (
+                SELECT l_orderkey, l_quantity,
+                       CAST(floor(l_discount*100 + 0.5) AS BIGINT)
+                           AS l_discount,
+                       CAST(floor(l_extendedprice*100 + 0.5) AS BIGINT) AS ext
+                FROM lineitem WHERE l_shipdate <= {_TP}
+            ),
+            lo AS (
+                SELECT o.o_orderkey, o.o_custkey, o.tp,
+                       COALESCE(SUM(l.l_quantity), 0) AS s_qty,
+                       COALESCE(CAST(SUM(l.ext) AS BIGINT), 0) AS s_ext,
+                       COALESCE(SUM(l.l_discount), 0) AS s_disc,
+                       AVG(l.l_quantity) AS m_qty,
+                       AVG(l.ext) AS m_ext,
+                       AVG(l.l_discount) AS m_disc,
+                       COUNT(l.l_orderkey) AS c_li
+                FROM o LEFT JOIN l ON l.l_orderkey = o.o_orderkey
+                GROUP BY 1, 2, 3
+            ),
+            co AS (
+                SELECT o_custkey,
+                       CAST(SUM(tp) AS BIGINT) AS s_tp,
+                       AVG(tp) AS m_tp,
+                       CAST(COUNT(*) AS BIGINT) AS c_o,
+                       SUM(m_qty) AS s_o_mqty,
+                       SUM(m_ext) AS s_o_mext,
+                       SUM(m_disc) AS s_o_mdisc,
+                       AVG(s_qty) AS m_o_sqty,
+                       AVG(s_ext) AS m_o_sext,
+                       AVG(s_disc) AS m_o_sdisc,
+                       AVG(m_qty) AS m_o_mqty,
+                       AVG(m_ext) AS m_o_mext,
+                       AVG(m_disc) AS m_o_mdisc,
+                       AVG(c_li) AS m_o_cli
+                FROM lo GROUP BY 1
+            ),
+            cl AS (
+                SELECT o.o_custkey,
+                       SUM(l.l_quantity) AS s_qty,
+                       CAST(SUM(l.ext) AS BIGINT) AS s_ext,
+                       SUM(l.l_discount) AS s_disc,
+                       AVG(l.l_quantity) AS m_qty,
+                       AVG(l.ext) AS m_ext,
+                       AVG(l.l_discount) AS m_disc,
+                       CAST(COUNT(*) AS BIGINT) AS c_l,
+                       CAST(SUM(o.tp) AS BIGINT) AS s_lo_tp,
+                       AVG(o.tp) AS m_lo_tp
+                FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+                GROUP BY 1
+            )
+            SELECT c.c_custkey,
+                   CAST(floor(c.c_acctbal*100 + 0.5) AS BIGINT) AS cb,
+                   c.c_mktsegment AS seg,
+                   COALESCE(co.s_tp, 0) AS s_tp,
+                   {_R('co.m_tp')} AS m_tp,
+                   COALESCE(co.c_o, 0) AS c_o,
+                   {_R('COALESCE(cl.s_qty, 0)')} AS s_qty,
+                   COALESCE(cl.s_ext, 0) AS s_ext,
+                   {_R('COALESCE(cl.s_disc, 0)')} AS s_disc,
+                   {_R('cl.m_qty')} AS m_qty,
+                   {_R('cl.m_ext')} AS m_ext,
+                   {_R('cl.m_disc')} AS m_disc,
+                   COALESCE(cl.c_l, 0) AS c_l,
+                   {_R('COALESCE(co.s_o_mqty, 0)')} AS s_o_mqty,
+                   {_R('COALESCE(co.s_o_mext, 0)')} AS s_o_mext,
+                   {_R('COALESCE(co.s_o_mdisc, 0)')} AS s_o_mdisc,
+                   {_R('co.m_o_sqty')} AS m_o_sqty,
+                   {_R('co.m_o_sext')} AS m_o_sext,
+                   {_R('co.m_o_sdisc')} AS m_o_sdisc,
+                   {_R('co.m_o_mqty')} AS m_o_mqty,
+                   {_R('co.m_o_mext')} AS m_o_mext,
+                   {_R('co.m_o_mdisc')} AS m_o_mdisc,
+                   {_R('co.m_o_cli')} AS m_o_cli,
+                   COALESCE(cl.s_lo_tp, 0) AS s_lo_tp,
+                   {_R('cl.m_lo_tp')} AS m_lo_tp
+            FROM customer c
+            LEFT JOIN co ON co.o_custkey = c.c_custkey
+            LEFT JOIN cl ON cl.o_custkey = c.c_custkey
+        """,
         "use_previous_obs": f"""
             WITH r AS (
                 SELECT user_id, value,
@@ -980,6 +1158,28 @@ def oracle_sql() -> dict[str, str]:
                    {_R('(lag(value) OVER (ORDER BY ts, event_id))/100.0')} AS lag_v,
                    {_R('(sum(value) OVER (PARTITION BY event_type ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING))/100.0')} AS cum_by_type
             FROM ec
+        """,
+        "ewm_by_user": f"""
+            -- pandas ewm(adjust=True, com=0.5): weight (1-a)^(n-i)
+            -- with a = 1/(1+com) -> 1-a = 1/3; the explicit weighted
+            -- sum over the running prefix equals pandas' recurrence
+            WITH ec AS (SELECT * FROM {_EC}),
+            p AS (
+                SELECT event_id,
+                       row_number() OVER w AS rn,
+                       list(value::DOUBLE) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS vals
+                FROM ec
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT event_id,
+                   floor((list_sum(list_transform(vals,
+                              (x,i) -> x * power(1.0/3, rn - i)))
+                          / list_sum(list_transform(vals,
+                              (x,i) -> power(1.0/3, rn - i))))/100.0
+                         * 1e4 + 0.5 + 1e-6) / 1e4 AS ewm_v
+            FROM p
         """,
         "lti": """
             WITH oli AS (

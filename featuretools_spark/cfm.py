@@ -98,7 +98,27 @@ def calculate_feature_matrix(
             seen.add(n)
             ordered.append(f)
 
-    internal = {f.get_name(): f"_f{i}" for i, f in enumerate(ordered)}
+    # transforms stacked on aggregation/direct outputs (reference Step 4
+    # transforms of agg features, deep_feature_synthesis.py:629-676)
+    # compile on the MATRIX after their inputs land, not on the target
+    # frame; their agg/direct inputs are hoisted as hidden internal
+    # features so the normal machinery computes them.
+    matrix_trans = [
+        f for f in ordered
+        if not isinstance(f, (AggregationFeature, DirectFeature))
+        and _has_agg_or_direct_dep(f)
+    ]
+    mt_names = {f.get_name() for f in matrix_trans}
+    hidden = []
+    have = {f.get_name() for f in ordered}
+    for f in matrix_trans:
+        for d in _agg_direct_roots(f):
+            if d.get_name() not in have:
+                have.add(d.get_name())
+                hidden.append(d)
+    ordered_all = ordered + hidden
+
+    internal = {f.get_name(): f"_f{i}" for i, f in enumerate(ordered_all)}
     if scalar_cutoff is not None:
         # scalar path: the target index is unique by contract — no
         # exchange needed to dedupe
@@ -110,11 +130,15 @@ def calculate_feature_matrix(
 
     approx_td = Timedelta.parse(approximate) if approximate else None
 
-    agg_feats = [f for f in ordered if isinstance(f, AggregationFeature)]
-    direct_feats = [f for f in ordered if isinstance(f, DirectFeature)]
+    agg_feats = [f for f in ordered_all if isinstance(f, AggregationFeature)]
+    direct_feats = [f for f in ordered_all if isinstance(f, DirectFeature)]
     other_feats = [
-        f for f in ordered if not isinstance(f, (AggregationFeature, DirectFeature))
+        f for f in ordered_all
+        if not isinstance(f, (AggregationFeature, DirectFeature))
+        and f.get_name() not in mt_names
     ]
+    scalar_ctx = (scalar_cutoff, include_cutoff_time, training_window,
+                  strategy)
 
     # ---- aggregation features, grouped per (path, window, n_obs) ----
     groups: dict = {}
@@ -142,18 +166,28 @@ def calculate_feature_matrix(
 
     for (path_key, win, nobs), feats in groups.items():
         path = feats[0].relationship_path
-        child_df, key_col, time_col = _child_frame(es, path)
+        child_df, key_col, time_col = _child_frame(
+            es, path,
+            pit=(scalar_cutoff, include_cutoff_time, training_window)
+            if scalar_cutoff is not None else None,
+        )
         specs = []
+        # materialize every base/where feature of the group in ONE pass
+        # so shared inputs (and recursive stacked sub-matrices) are
+        # computed once per group, not once per feature
+        base_list: list = []
         for f in feats:
-            child_df, in_cols = _materialize_features(
-                es, f.child_entity, child_df, f.base_features, time_col
-            )
-            where_col = None
+            base_list.extend(f.base_features)
             if f.where is not None:
-                child_df, wcols = _materialize_features(
-                    es, f.child_entity, child_df, [f.where], time_col
-                )
-                where_col = wcols[0]
+                base_list.append(f.where)
+        child_df, mat_cols = _materialize_features(
+            es, feats[0].child_entity, child_df, base_list, time_col,
+            scalar_ctx=scalar_ctx,
+        )
+        col_iter = iter(mat_cols)
+        for f in feats:
+            in_cols = [next(col_iter) for _ in f.base_features]
+            where_col = next(col_iter) if f.where is not None else None
             kinds = getattr(f.primitive, "input_kinds", ("numeric",))
             if kinds == () :
                 in_cols = []
@@ -319,21 +353,66 @@ def calculate_feature_matrix(
         )
         matrix = matrix.join(sel, on=join_keys, how="left")
 
+    # ---- transforms of aggregation/direct outputs, on the matrix ----
+    if matrix_trans:
+        ident_cols: set = set()
+        for f in matrix_trans:
+            _ident_deps(f, target, ident_cols)
+        if ident_cols:
+            matrix = matrix.join(
+                es[target].select(
+                    index_col,
+                    *[F.col(c).alias(f"_ft_mt_{c}")
+                      for c in sorted(ident_cols)],
+                ),
+                on=index_col, how="left",
+            )
+        mctx = TransformContext(cutoff=F.col(CUTOFF_COL), order_cols=[])
+        done = set(internal) - mt_names
+
+        def mcomp(f) -> Column:
+            n = f.get_name()
+            if n in internal and n in done:
+                return F.col(internal[n])
+            if isinstance(f, IdentityFeature) and f.entity == target:
+                return F.col(f"_ft_mt_{f.column}")
+            if isinstance(f, GroupByTransformFeature):
+                raise NotImplementedError(
+                    "groupby transforms of aggregation outputs are not "
+                    "supported"
+                )
+            if isinstance(f, TransformFeature):
+                prim = f.primitive
+                if (getattr(prim, "strategy", "expr") == "pandas"
+                        or getattr(prim, "uses_full_dataframe", False)):
+                    raise NotImplementedError(
+                        "window/pandas transforms of aggregation outputs "
+                        "are not supported"
+                    )
+                return prim.expr([mcomp(b) for b in f.base_features], mctx)
+            raise ValueError(f"cannot compile {f!r} on the matrix")
+
+        for f in matrix_trans:
+            matrix = matrix.withColumn(internal[f.get_name()], mcomp(f))
+            done.add(f.get_name())
+        matrix = matrix.drop(*[f"_ft_mt_{c}" for c in sorted(ident_cols)])
+
     # ---- target-grain point-in-time mask ----
     # reference _handle_time (entityset.py:1407-1457) filters the
-    # TARGET frame too: a cutoff earlier than the row's own time index
-    # yields NULL identity/transform/direct values (the matrix row
-    # survives — only aggregations, which never read the target row,
-    # keep their defaults); secondary-time-index columns of the target
-    # are NULLed while sec_time >= cutoff.
-    non_agg = [f for f in ordered if not isinstance(f, AggregationFeature)]
+    # TARGET frame too, and missing instances come back as a
+    # generate_default_df row (feature_set_calculator.py:135-146):
+    # a cutoff earlier than the row's own time index yields the
+    # primitive default for aggregations and NULL for everything
+    # else; secondary-time-index columns of the target are NULLed
+    # while sec_time >= cutoff.
     tti = es.time_index(target)
     tgt_sec = {
         internal[f.get_name()]: _sec_governing_col(es, target, f)
-        for f in non_agg
+        for f in ordered_all
+        if not isinstance(f, AggregationFeature)
     }
     need_tsec = sorted({c for c in tgt_sec.values() if c})
-    if non_agg and (tti or need_tsec):
+    if ordered_all and (tti or need_tsec):
         tgt_has_lti = (
             es.meta[target].last_time_index
             and LTI_COLUMN_NAME in es[target].columns
@@ -352,15 +431,23 @@ def calculate_feature_matrix(
                       lti=F.col("_ft_tgt_lti") if tgt_has_lti else None)
             if tti else None
         )
-        for f in non_agg:
+        for f in ordered_all:
             cname = internal[f.get_name()]
             cond = tcond
-            sec = tgt_sec[cname]
+            sec = tgt_sec.get(cname)
             if sec:
                 smask = F.col(f"_ft_tsec_{sec}") < F.col(CUTOFF_COL)
                 cond = smask if cond is None else (cond & smask)
-            if cond is not None:
-                matrix = matrix.withColumn(cname, F.when(cond, F.col(cname)))
+            if cond is None:
+                continue
+            dv = (
+                f.primitive.default_value
+                if isinstance(f, AggregationFeature) else None
+            )
+            col = F.when(cond, F.col(cname))
+            if dv is not None:
+                col = col.otherwise(F.lit(dv))
+            matrix = matrix.withColumn(cname, col)
         matrix = matrix.drop(
             "_ft_tgt_ti", "_ft_tgt_lti",
             *[f"_ft_tsec_{c}" for c in need_tsec],
@@ -440,7 +527,24 @@ def _max_time(es):
     return best
 
 
-def _child_frame(es, path):
+def _apply_scalar_pit(es, table, df, pit):
+    """_handle_time row filter for an intermediate path table at a
+    scalar cutoff (reference filters EVERY dataframe on the descent,
+    feature_set_calculator trie walk)."""
+    ti = es.time_index(table)
+    if ti is None:
+        return df
+    sc, inc, tw = pit
+    cut = F.lit(sc).cast("timestamp")
+    lti = (
+        F.col(LTI_COLUMN_NAME)
+        if es.meta[table].last_time_index and LTI_COLUMN_NAME in df.columns
+        else None
+    )
+    return df.filter(_pit_mask(F.col(ti), cut, inc, tw, lti=lti))
+
+
+def _child_frame(es, path, pit=None):
     """DataFrame of the deepest child on the path with the TOP ancestor
     key attached (denormalized path keys — reference fsc.py:373-431).
     Returns (df, ancestor_key_col, time_col).
@@ -449,6 +553,13 @@ def _child_frame(es, path):
     unique by add_relationship), never on child indexes — child tables
     need no unique key for multi-hop aggregation. Intermediate
     mappings are dimension-sized; Catalyst broadcasts them when small.
+
+    pit: optional (scalar_cutoff, include_cutoff_time, training_window)
+    — intermediate tables are row-filtered to the cutoff like the
+    reference's trie descent (a lineitem belonging to a post-cutoff
+    order is invisible at the customer grain). Per-row cutoffs keep
+    the unfiltered mapping: filtering each hop per cutoff would need
+    the cutoff in scope before the join.
     """
     child_name = path[-1].child_name
     df = es[child_name]
@@ -460,6 +571,8 @@ def _child_frame(es, path):
     mapping = None
     for rel, nxt in zip(path, path[1:]):
         tbl = es[rel.child_name]  # the intermediate table
+        if pit is not None:
+            tbl = _apply_scalar_pit(es, rel.child_name, tbl, pit)
         if mapping is None:
             mapping = tbl.select(
                 F.col(nxt.parent_col).alias("_ft_link"),
@@ -531,6 +644,40 @@ def _secondary_mask_col(es, agg_feature):
     return None
 
 
+def _has_agg_or_direct_dep(f) -> bool:
+    for d in f.get_dependencies():
+        if isinstance(d, (AggregationFeature, DirectFeature)):
+            return True
+        if _has_agg_or_direct_dep(d):
+            return True
+    return False
+
+
+def _agg_direct_roots(f, acc=None) -> list:
+    """Top-most AggregationFeature/DirectFeature nodes under f (the
+    recursive engine computes everything below them)."""
+    if acc is None:
+        acc = []
+    for d in f.get_dependencies():
+        if isinstance(d, (AggregationFeature, DirectFeature)):
+            acc.append(d)
+        else:
+            _agg_direct_roots(d, acc)
+    return acc
+
+
+def _ident_deps(f, table, acc: set):
+    """Raw columns of `table` read by f outside agg/direct subtrees."""
+    if isinstance(f, IdentityFeature):
+        if f.entity == table:
+            acc.add(f.column)
+        return
+    if isinstance(f, (AggregationFeature, DirectFeature)):
+        return
+    for d in f.get_dependencies():
+        _ident_deps(d, table, acc)
+
+
 def _is_static(feature) -> bool:
     """True if the feature never looks at cutoffs or child tables —
     safe to compute once per parent row and join directly."""
@@ -543,7 +690,8 @@ def _is_static(feature) -> bool:
 
 
 def _materialize_features(es, table, df, feats, time_col,
-                          cutoff_frame=None, index_col=None):
+                          cutoff_frame=None, index_col=None,
+                          scalar_ctx=None):
     """Add one column per feature to df; returns (df, colnames).
 
     Pure row-wise transforms compile into a single select; window
@@ -552,9 +700,55 @@ def _materialize_features(es, table, df, feats, time_col,
     instance filtering. uses_calc_time transforms require the cutoff
     column: if a cutoff_frame is given, df is joined with it first
     (adding CUTOFF_COL and possibly duplicating rows per cutoff).
+
+    Stacked inputs — AggregationFeature/DirectFeature nodes at this
+    table's grain (depth>=2 DFS, e.g. MEAN(orders.SUM(lineitem.x)))
+    — are computed by a recursive calculate_feature_matrix at the
+    scalar cutoff and joined back on the table index. Per-row cutoffs
+    would require propagating every ancestor cutoff down the path
+    (the reference re-filters the whole ES per unique cutoff instead,
+    calculate_feature_matrix.py:437-506); use approximate= binning or
+    a scalar cutoff for stacked features.
     """
     needs_cutoff = any(_uses_calc_time(f) for f in feats)
     precomputed: dict = {}
+
+    special: list = []
+
+    def _collect_special(f):
+        if isinstance(f, (AggregationFeature, DirectFeature)):
+            special.append(f)
+            return
+        for d in f.get_dependencies():
+            _collect_special(d)
+
+    for f in feats:
+        _collect_special(f)
+    if special:
+        sc = scalar_ctx[0] if scalar_ctx else None
+        if sc is None:
+            raise NotImplementedError(
+                "stacked aggregation/direct inputs need a scalar "
+                "cutoff_time (or approximate= binning); per-row cutoff "
+                "propagation through depth>=2 features is unsupported"
+            )
+        _, inc, tw, strat = scalar_ctx
+        uniq = list({f.get_name(): f for f in special}.values())
+        sub = calculate_feature_matrix(
+            uniq, es, cutoff_time=sc, include_cutoff_time=inc,
+            training_window=tw, strategy=strat,
+        )
+        tbl_index = es.index(table)
+        global _MAT_COUNTER
+        sel = [F.col(f"`{tbl_index}`")]
+        for f in uniq:
+            _MAT_COUNTER += 1
+            cn = f"_ft_m{_MAT_COUNTER}"
+            # feature names contain dots, which bare F.col would parse
+            # as struct traversal — quote with backticks
+            sel.append(F.col(f"`{f.get_name()}`").alias(cn))
+            precomputed[f.get_name()] = cn
+        df = df.join(sub.select(*sel), on=tbl_index, how="left")
     if needs_cutoff:
         if cutoff_frame is None:
             raise ValueError("uses_calc_time feature outside cutoff context")
@@ -568,7 +762,9 @@ def _materialize_features(es, table, df, feats, time_col,
         if win_feats:
             df, wcols = _materialize_features(es, table, df, win_feats,
                                               time_col)
-            precomputed = {f.get_name(): c for f, c in zip(win_feats, wcols)}
+            precomputed.update(
+                {f.get_name(): c for f, c in zip(win_feats, wcols)}
+            )
         if CUTOFF_COL not in df.columns:
             df = df.join(cutoff_frame, on=index_col, how="inner")
 
@@ -608,7 +804,6 @@ def _materialize_features(es, table, df, feats, time_col,
             return f.primitive.expr(inputs, ctx)
         raise ValueError(f"cannot materialize {f!r} on table {table}")
 
-    global _MAT_COUNTER
     results = {}
     for f in expr_feats:
         if f.get_name() in new_cols:  # precomputed pre-cutoff-join
@@ -663,7 +858,13 @@ def _apply_pandas_transform(df, prim, in_cols, out_col, order_cols, part_cols):
         return df.groupBy(*part_cols).applyInPandas(fn, schema)
     # single global group (full-column semantics, reference parity);
     # a bare int literal in groupBy is parsed as an ordinal — use a
-    # materialized constant column instead
+    # materialized constant column instead. This shape collapses the
+    # table into ONE executor's pandas frame, so it is hard-capped:
+    # above the threshold, partition by the entity key instead
+    # (GroupByTransformFeature) — that is the scale path.
+    import os
+
+    cap = int(os.environ.get("FT_SPARK_GLOBAL_PANDAS_MAX_ROWS", 10_000_000))
     tagged = df.withColumn("__ft_g", F.lit(1))
     schema2 = T.StructType(
         tagged.schema.fields
@@ -671,6 +872,12 @@ def _apply_pandas_transform(df, prim, in_cols, out_col, order_cols, part_cols):
     )
 
     def fn2(pdf):
+        if len(pdf) > cap:
+            raise ValueError(
+                f"global pandas transform {prim.name!r} over {len(pdf)} rows "
+                f"exceeds FT_SPARK_GLOBAL_PANDAS_MAX_ROWS={cap}; partition "
+                f"by an entity key (GroupByTransformFeature) instead"
+            )
         pdf = pdf.sort_values(order_cols, kind="stable")
         return prim.pandas(pdf, in_cols, out_col, order_cols)
 

@@ -1,25 +1,40 @@
 """Deep Feature Synthesis — feature enumeration.
 
-Port of the reference's enumeration walk (synthesis/
-deep_feature_synthesis.py:382-531: identity → backward recursion →
-aggregations per backward path → transforms → forward recursion →
-direct features), driven by our schema layer. Enumeration is pure
-metadata work on the driver (no data touched); execution happens in
-calculate_feature_matrix.
+Re-expression of the reference's enumeration walk (synthesis/
+deep_feature_synthesis.py:382-531) over our schema layer, step for
+step per visited dataframe:
+
+  1 identity features  ->  2 backward recursion (max_depth-1)
+  3 aggregations over every DEEP backward path (stacking on the
+    child's own features, incl. its aggregations — the "deep" in DFS)
+  4 transforms of identity + aggregation features
+  5 forward recursion (max_depth-1)  ->  6 direct features
+  7 transforms requiring a direct-feature input
+  then interesting-value WHERE clauses for later parent visits.
+
+Stacking legality mirrors can_stack_primitive_on_inputs
+(deep_feature_synthesis.py:1124-1160) via the per-primitive
+stack_on / stack_on_exclude / stack_on_self / base_of tables below
+(values lifted from the reference's primitive declarations), and
+transforms never take transform outputs as inputs
+(not_a_transform_input, deep_feature_synthesis.py:1060-1066).
+
+Enumeration is pure metadata work on the driver (no data touched);
+execution happens in calculate_feature_matrix.
 
 Defaults match the reference (primitives/utils.py:162-190):
 agg  = [sum, std, max, skew, min, mean, count, percent_true,
         num_unique, mode]
 trans = [day, year, month, weekday, num_words, num_characters]
-(haversine/age apply only when latlong/date_of_birth columns exist).
 """
 
 from __future__ import annotations
 
-from featuretools_spark.entityset import EntitySet
+from featuretools_spark.entityset import LTI_COLUMN_NAME, EntitySet
 from featuretools_spark.features import (
     AggregationFeature,
     DirectFeature,
+    GroupByTransformFeature,
     IdentityFeature,
     TransformFeature,
 )
@@ -35,6 +50,32 @@ DEFAULT_AGG_PRIMITIVES = [
 ]
 DEFAULT_TRANS_PRIMITIVES = ["day", "year", "month", "weekday",
                             "num_words", "num_characters"]
+
+# per-primitive stacking declarations, lifted from the reference's
+# aggregation primitives (e.g. sum_primitive.py:20-21, skew.py:24-25,
+# count.py:20); absent names use PrimitiveBase defaults
+# (stack_on_self=True, everything else None).
+_STACK_SELF_FALSE = {
+    "all", "any", "count", "count_above_mean", "count_below_mean",
+    "count_greater_than", "count_inside_nth_std", "count_inside_range",
+    "count_less_than", "count_outside_nth_std", "count_outside_range",
+    "date_first_event", "entropy", "first", "first_last_time_delta",
+    "has_no_duplicates", "is_monotonically_decreasing",
+    "is_monotonically_increasing", "is_unique", "kurtosis", "last",
+    "max_consecutive_false", "max_consecutive_negatives",
+    "max_consecutive_positives", "max_consecutive_true",
+    "max_consecutive_zeros", "max_min_delta", "max", "median_count",
+    "min", "n_unique_days", "n_unique_days_of_calendar_year",
+    "n_unique_days_of_month", "n_unique_months", "n_unique_weeks",
+    "num_consecutive_greater_mean", "num_consecutive_less_mean",
+    "num_false_since_last_true", "num_peaks", "num_true_since_last_false",
+    "num_unique", "skew", "std", "sum", "time_since_last_false",
+    "time_since_last_max", "time_since_last_min", "time_since_last_true",
+    "variance",
+}
+_STACK_ON = {"num_true": set(), "percent_true": set(), "skew": set()}
+_STACK_ON_EXCLUDE = {"sum": {"count"}, "num_true": set(),
+                     "percent_true": set()}
 
 
 def _column_kind(es: EntitySet, table: str, col: str) -> str:
@@ -63,15 +104,80 @@ def _column_kind(es: EntitySet, table: str, col: str) -> str:
     return "category"
 
 
-def _matching_columns(es, table, kinds) -> list[str]:
-    out = []
-    for col in es[table].columns:
-        k = _column_kind(es, table, col)
-        if k in ("index", "time_index", "foreign_key", "tokens"):
+def _feature_kind(es, f) -> str:
+    """Kind of a feature's output, for input-type matching."""
+    if isinstance(f, IdentityFeature):
+        return _column_kind(es, f.entity, f.column)
+    if isinstance(f, DirectFeature):
+        return _feature_kind(es, f.base_feature)
+    prim = getattr(f, "primitive", None)
+    rk = getattr(prim, "return_kind", "numeric")
+    if rk == "same":
+        deps = f.get_dependencies()
+        return _feature_kind(es, deps[0]) if deps else "numeric"
+    return rk
+
+
+def _kind_matches(kind: str, wanted: tuple) -> bool:
+    """Reference type matching (is_valid_input analog): a time index
+    is a Datetime column, an index/foreign key only matches when asked
+    for explicitly (Count / groupbys)."""
+    if kind in ("index", "foreign_key", "tokens"):
+        return kind in wanted
+    if kind == "time_index":
+        kind = "datetime"
+    return kind in wanted or "any" in wanted
+
+
+def _root_primitive(f):
+    """Through DirectFeatures to the original primitive (None for
+    identity features) — reference _find_root_primitive."""
+    while isinstance(f, DirectFeature):
+        f = f.base_feature
+    return getattr(f, "primitive", None)
+
+
+def _can_stack(prim, inputs) -> bool:
+    """Reference can_stack_primitive_on_inputs
+    (deep_feature_synthesis.py:1124-1160), on primitive names."""
+    name = prim.name
+    self_ok = name not in _STACK_SELF_FALSE
+    stack_on = _STACK_ON.get(name)  # None -> anything
+    stack_on_exclude = _STACK_ON_EXCLUDE.get(name, set())
+    for f in inputs:
+        fp = _root_primitive(f)
+        if fp is None:
+            continue  # identity input: always allowed
+        if not self_ok and fp.name == name:
+            return False
+        if fp.name in stack_on_exclude:
+            return False
+        if f.number_output_features > 1:
+            return False
+        # permitted? (stack_on_self / stack_on / base_of chain)
+        if self_ok and fp.name == name:
             continue
-        if "any" in kinds or k in kinds:
-            out.append(col)
-    return out
+        if stack_on is None or fp.name in stack_on:
+            continue
+        base_of = getattr(fp, "base_of", None)
+        if base_of is None or name in base_of:
+            continue
+        return False
+    return True
+
+
+def _not_a_transform_input(f) -> bool:
+    from featuretools_spark.primitives.base import TransformPrimitive
+
+    return not isinstance(_root_primitive(f), TransformPrimitive)
+
+
+def _all_direct_same_path(inputs) -> bool:
+    rel = getattr(inputs[0], "relationship", None)
+    for f in inputs:
+        if not isinstance(f, DirectFeature) or f.relationship is not rel:
+            return False
+    return True
 
 
 def build_features(
@@ -80,136 +186,310 @@ def build_features(
     agg_primitives=None,
     trans_primitives=None,
     where_primitives=None,
+    groupby_trans_primitives=None,
     max_depth: int = 2,
     max_features: int | None = None,
     ignore_columns: dict | None = None,
+    where_stacking_limit: int = 1,
+    return_kinds=None,
 ) -> list:
     es = entityset
     target = target_dataframe_name
-    agg_names = agg_primitives if agg_primitives is not None else DEFAULT_AGG_PRIMITIVES
-    where_names = where_primitives if where_primitives is not None else ["count"]
-    trans_names = (
-        trans_primitives if trans_primitives is not None else DEFAULT_TRANS_PRIMITIVES
-    )
+    agg_prims = [
+        get_aggregation_primitive(a)
+        for a in (agg_primitives if agg_primitives is not None
+                  else DEFAULT_AGG_PRIMITIVES)
+    ]
+    trans_prims = [
+        get_transform_primitive(t)
+        for t in (trans_primitives if trans_primitives is not None
+                  else DEFAULT_TRANS_PRIMITIVES)
+    ]
+    where_names = {
+        get_aggregation_primitive(a).name
+        for a in (where_primitives if where_primitives is not None
+                  else ["count"])
+    }
+    gb_prims = [get_transform_primitive(t)
+                for t in (groupby_trans_primitives or [])]
     ignore = {t: set(cols) for t, cols in (ignore_columns or {}).items()}
 
-    feats: list = []
-    seen: set = set()
+    all_features: dict[str, dict] = {}
+    where_clauses: dict[str, list] = {}
+    _depths: dict = {}
 
-    def add(f):
+    def depth(f) -> int:
+        key = id(f)
+        if key not in _depths:
+            _depths[key] = f.get_depth()
+        return _depths[key]
+
+    def add(table, f):
+        d = all_features[table]
         n = f.get_name()
-        if n not in seen:
-            seen.add(n)
-            feats.append(f)
+        if n not in d:
+            d[n] = f
 
-    def usable(table, col):
-        return col not in ignore.get(table, set())
+    def flat(table, max_d):
+        """Candidate input features of `table` with depth <= max_d
+        (reference _features_by_type)."""
+        if max_d is not None and max_d < 0:
+            return []
+        if table not in all_features:
+            return []
+        return [
+            f for f in all_features[table].values()
+            if max_d is None or depth(f) <= max_d
+        ]
 
-    # 1. identity features of the target (non-index/time/fk columns)
-    for col in es[target].columns:
-        kind = _column_kind(es, target, col)
-        if kind in ("index", "time_index", "foreign_key", "tokens"):
-            continue
-        if usable(target, col):
-            add(IdentityFeature(es, target, col))
+    def in_path(f, path_cols) -> bool:
+        """Identity feature of a relationship-path key column
+        (reference _feature_in_relationship_path)."""
+        return (
+            isinstance(f, IdentityFeature)
+            and (f.entity, f.column) in path_cols
+        )
 
-    # 2. aggregation features over every backward path of depth<=max_depth
-    def backward_paths(start, depth):
-        if depth == 0:
-            return
-        for rel in es.get_backward_relationships(start):
-            yield [rel]
-            for sub in backward_paths(rel.child_name, depth - 1):
-                yield [rel] + sub
-
-    agg_prims = [get_aggregation_primitive(a) for a in agg_names]
-    for path in backward_paths(target, max_depth):
+    # ---- step 3 helper ------------------------------------------------
+    def build_agg_features(ptable, path, max_d):
         child = path[-1].child_name
+        new_md = None if max_d is None else max_d - 1
+        wheres = where_clauses.get(child, [])
+        path_cols = set()
+        for r in path:
+            path_cols.add((r.parent_name, r.parent_col))
+            path_cols.add((r.child_name, r.child_col))
+        pool = flat(child, new_md)
         for prim in agg_prims:
             kinds = getattr(prim, "input_kinds", ("numeric",))
-            if kinds == ("index",):  # count
-                base = IdentityFeature(es, child, es.index(child))
-                add(AggregationFeature(base, target, type(prim)(), es=es,
-                                       relationship_path=path))
-                continue
-            if kinds == ():  # pure time aggregates
-                if es.time_index(child):
-                    base = IdentityFeature(es, child, es.time_index(child))
-                    add(AggregationFeature(base, target, type(prim)(), es=es,
-                                           relationship_path=path))
-                continue
-            need_time = getattr(prim, "uses_time_index", False) or getattr(
-                prim, "uses_calc_time", False
-            )
-            if need_time and not es.time_index(child):
-                continue
-            for col in _matching_columns(es, child, kinds):
-                if not usable(child, col):
+            if kinds == ("index",):
+                # COUNT takes the child's index column; like every
+                # candidate it must exist in the child's feature dict
+                # (absent when recursion depth ran out — reference
+                # _features_by_type returns [] then)
+                matches = [
+                    (f,) for f in pool
+                    if isinstance(f, IdentityFeature)
+                    and f.column == es.index(child)
+                ]
+            elif kinds == ():
+                if not es.time_index(child):
                     continue
-                base = IdentityFeature(es, child, col)
-                add(AggregationFeature(base, target, type(prim)(), es=es,
-                                       relationship_path=path))
-
-    # 2b. WHERE-clause variants from interesting_values
-    #     (reference deep_feature_synthesis.py:876-893)
-    where_prims = [get_aggregation_primitive(a) for a in where_names]
-    for path in backward_paths(target, max_depth):
-        child = path[-1].child_name
-        iv = es.meta[child].interesting_values
-        for col, vals in iv.items():
-            for val in vals:
-                where = IdentityFeature(es, child, col) == val
-                for prim in where_prims:
-                    kinds = getattr(prim, "input_kinds", ("numeric",))
-                    if kinds == ("index",):
-                        base = IdentityFeature(es, child, es.index(child))
-                        add(AggregationFeature(base, target, type(prim)(),
-                                               es=es, relationship_path=path,
-                                               where=where))
-                    elif kinds == ():
+                matches = [
+                    (f,) for f in pool
+                    if isinstance(f, IdentityFeature)
+                    and f.column == es.time_index(child)
+                ]
+            else:
+                need_time = (getattr(prim, "uses_time_index", False)
+                             or getattr(prim, "uses_calc_time", False))
+                if need_time and not es.time_index(child):
+                    continue
+                matches = [
+                    (f,) for f in pool
+                    if _kind_matches(_feature_kind(es, f), kinds)
+                    and not (isinstance(f, DirectFeature)
+                             and f.parent_entity == ptable)
+                    and not in_path(f, path_cols)
+                    and f.number_output_features == 1
+                ]
+            for m in matches:
+                if not _can_stack(prim, m):
+                    continue
+                new_f = AggregationFeature(
+                    m[0], ptable, type(prim)(), es=es, relationship_path=path
+                )
+                add(ptable, new_f)
+                # limit the stacking of where features (reference
+                # where_stacking_limit, deep_feature_synthesis.py:852-866)
+                feat_wheres = 0
+                for f in m:
+                    for ff in [f] + f.get_dependencies(deep=True):
+                        if (isinstance(ff, AggregationFeature)
+                                and ff.where is not None):
+                            feat_wheres += 1
+                if feat_wheres >= where_stacking_limit:
+                    continue
+                if prim.name not in where_names:
+                    continue
+                base_names = {b.get_name() for b in new_f.base_features}
+                for w in wheres:
+                    if any(bf.get_name() in base_names
+                           for bf in w.base_features):
                         continue
-                    else:
-                        for bcol in _matching_columns(es, child, kinds):
-                            if usable(child, bcol) and bcol != col:
-                                base = IdentityFeature(es, child, bcol)
-                                add(AggregationFeature(
-                                    base, target, type(prim)(), es=es,
-                                    relationship_path=path, where=where))
+                    add(ptable, AggregationFeature(
+                        m[0], ptable, type(prim)(), es=es,
+                        relationship_path=path, where=w,
+                    ))
 
-    # 3. transform features on the target
-    trans_prims = [get_transform_primitive(t) for t in trans_names]
-    for prim in trans_prims:
-        if prim.n_inputs != 1:
-            continue  # binary transforms enumerate quadratically; opt-in
-        kinds = getattr(prim, "input_kinds", ("numeric",))
-        for col in _matching_columns(es, target, kinds):
-            if usable(target, col):
-                add(TransformFeature(type(prim)(), [IdentityFeature(es, target, col)]))
-
-    # 4. direct features from parents (identity at depth>=1,
-    #    parent aggregations at depth>=2)
-    for rel in es.get_forward_relationships(target):
-        parent = rel.parent_name
-        for col in es[parent].columns:
-            kind = _column_kind(es, parent, col)
-            if kind in ("index", "time_index", "foreign_key", "tokens"):
+    # ---- step 4/7 helper ----------------------------------------------
+    def build_transform_features(table, max_d, require_direct=False):
+        new_md = None if max_d is None else max_d - 1
+        to_add = []
+        pool = [
+            f for f in flat(table, new_md)
+            if _not_a_transform_input(f) and f.number_output_features == 1
+        ]
+        for prim in trans_prims:
+            kinds = getattr(prim, "input_kinds", ("numeric",))
+            if prim.n_inputs == 1:
+                matches = [
+                    (f,) for f in pool
+                    if _kind_matches(_feature_kind(es, f), kinds)
+                ]
+            elif prim.n_inputs == 2:
+                # binary transforms declare per-position kinds,
+                # e.g. ("numeric", "boolean")
+                c0 = [f for f in pool
+                      if _kind_matches(_feature_kind(es, f), (kinds[0],))]
+                c1 = [f for f in pool
+                      if _kind_matches(_feature_kind(es, f), (kinds[1],))]
+                matches = []
+                if getattr(prim, "commutative", False) and kinds[0] == kinds[1]:
+                    for i, a in enumerate(c0):
+                        for b in c0[i + 1:]:
+                            matches.append((a, b))
+                else:
+                    for a in c0:
+                        for b in c1:
+                            if a.get_name() != b.get_name():
+                                matches.append((a, b))
+            else:
                 continue
-            if usable(parent, col):
-                add(DirectFeature(IdentityFeature(es, parent, col), target,
-                                  es=es, relationship=rel))
-        if max_depth >= 2:
-            for prel in es.get_backward_relationships(parent):
-                if prel.child_name == target:
-                    continue  # avoid trivially re-aggregating the target
-                child = prel.child_name
-                for prim in agg_prims:
-                    kinds = getattr(prim, "input_kinds", ("numeric",))
-                    if kinds == ("index",):
-                        base = IdentityFeature(es, child, es.index(child))
-                        agg = AggregationFeature(base, parent, type(prim)(), es=es,
-                                                 relationship_path=[prel])
-                        add(DirectFeature(agg, target, es=es, relationship=rel))
+            if require_direct:
+                matches = [
+                    m for m in matches
+                    if any(isinstance(x, DirectFeature) for x in m)
+                    and not _all_direct_same_path(m)
+                ]
+            for m in matches:
+                if _can_stack(prim, m):
+                    to_add.append(TransformFeature(type(prim)(), list(m)))
+        # groupby transforms: FK features are the default groupbys
+        # (reference deep_feature_synthesis.py:686-766)
+        if gb_prims:
+            # groupby candidates: FK identity columns (the execution
+            # layer partitions by the raw column)
+            gbs = [f for f in flat(table, new_md)
+                   if isinstance(f, IdentityFeature)
+                   and _feature_kind(es, f) == "foreign_key"]
+            for prim in gb_prims:
+                kinds = getattr(prim, "input_kinds", ("numeric",))
+                cands = [f for f in pool
+                         if _kind_matches(_feature_kind(es, f), kinds)]
+                for c in cands:
+                    if not _can_stack(prim, (c,)):
+                        continue
+                    for g in gbs:
+                        if require_direct:
+                            g_direct = isinstance(g, DirectFeature)
+                            c_direct = isinstance(c, DirectFeature)
+                            if not c_direct and not g_direct:
+                                continue
+                            if (c_direct and g_direct
+                                    and _all_direct_same_path((c, g))):
+                                continue
+                        to_add.append(GroupByTransformFeature(
+                            type(prim)(), [c], groupby=g))
+        for f in to_add:
+            add(table, f)
 
+    # ---- step 6 helper -------------------------------------------------
+    def build_forward_features(table, rel, max_d):
+        parent = rel.parent_name
+        path_cols = {(rel.parent_name, rel.parent_col),
+                     (rel.child_name, rel.child_col)}
+        for f in flat(parent, max_d):
+            if in_path(f, path_cols):
+                continue
+            add(table, DirectFeature(f, table, es=es, relationship=rel))
+
+    def build_where_clauses(table):
+        out = []
+        for f in all_features[table].values():
+            if isinstance(f, IdentityFeature):
+                tbl, col = f.entity, f.column
+            elif (isinstance(f, DirectFeature)
+                  and isinstance(f.base_feature, IdentityFeature)):
+                tbl, col = f.base_feature.entity, f.base_feature.column
+            else:
+                continue
+            for val in es.meta[tbl].interesting_values.get(col, []):
+                out.append(f == val)
+        where_clauses[table] = out
+
+    # ---- the walk (reference _run_dfs) ----------------------------------
+    def deep_backward_paths(start, on_path):
+        for rel in es.get_backward_relationships(start):
+            if rel.child_name in on_path:
+                continue
+            yield [rel]
+            for sub in deep_backward_paths(
+                    rel.child_name, on_path | {rel.child_name}):
+                yield [rel] + sub
+
+    def run_dfs(table, max_d):
+        if max_d is not None and max_d < 0:
+            return
+        all_features[table] = {}
+        # 1: identity features (every column; type matching gates use)
+        for col in es[table].columns:
+            if col in ignore.get(table, set()) or col == LTI_COLUMN_NAME:
+                continue
+            add(table, IdentityFeature(es, table, col))
+        # 2: backward recursion
+        for rel in es.get_backward_relationships(table):
+            if rel.child_name in all_features:
+                continue
+            run_dfs(rel.child_name, None if max_d is None else max_d - 1)
+        # 3: aggregations over deep backward paths
+        for path in deep_backward_paths(table, {table}):
+            build_agg_features(table, path, max_d)
+        # 4: transforms of identity + aggregation features
+        build_transform_features(table, max_d)
+        # 5: forward recursion
+        for rel in es.get_forward_relationships(table):
+            if rel.parent_name in all_features:
+                continue
+            run_dfs(rel.parent_name, None if max_d is None else max_d - 1)
+        # 6: direct features
+        for rel in es.get_forward_relationships(table):
+            build_forward_features(table, rel, max_d)
+        # 7: transforms of direct features
+        build_transform_features(table, max_d, require_direct=True)
+        build_where_clauses(table)
+
+    run_dfs(target, max_depth)
+
+    # ---- finalize (reference build_features:324-360) --------------------
+    feats = list(all_features.get(target, {}).values())
+    idx = es.index(target)
+    keep_kinds = (
+        ("numeric", "category", "boolean")
+        if return_kinds is None else return_kinds
+    )
+
+    def keep(f):
+        if (isinstance(f, IdentityFeature) and f.entity == target
+                and f.column == idx):
+            return False
+        if keep_kinds == "all":
+            return True
+        k = _feature_kind(es, f)
+        if k == "foreign_key":
+            # string/categorical FKs carry the category tag in the
+            # reference and survive the return-type filter
+            col = (f.base_feature.column if isinstance(f, DirectFeature)
+                   else getattr(f, "column", None))
+            tbl = (f.base_feature.entity if isinstance(f, DirectFeature)
+                   else f.entity)
+            cs = es.meta[tbl].column_schemas.get(col) if col else None
+            if cs is not None and not cs.is_numeric():
+                k = "category"
+        return k in keep_kinds
+
+    feats = [f for f in feats if keep(f)]
+    feats.sort(key=depth)  # stable: insertion order within each depth
     if max_features:
         feats = feats[:max_features]
     return feats
@@ -223,12 +503,14 @@ def dfs(
     agg_primitives=None,
     trans_primitives=None,
     where_primitives=None,
+    groupby_trans_primitives=None,
     max_depth: int = 2,
     max_features: int | None = None,
     training_window=None,
     include_cutoff_time: bool = True,
     features_only: bool = False,
     ignore_columns: dict | None = None,
+    where_stacking_limit: int = 1,
     strategy: str = "join",
 ):
     """Synthesize features and (unless features_only) compute the matrix.
@@ -239,9 +521,11 @@ def dfs(
         agg_primitives=agg_primitives,
         trans_primitives=trans_primitives,
         where_primitives=where_primitives,
+        groupby_trans_primitives=groupby_trans_primitives,
         max_depth=max_depth,
         max_features=max_features,
         ignore_columns=ignore_columns,
+        where_stacking_limit=where_stacking_limit,
     )
     if features_only:
         return features

@@ -1,0 +1,158 @@
+"""DFS enumeration parity vs the reference walk
+(synthesis/deep_feature_synthesis.py:382-531): stacked aggregations,
+transforms of identity + agg features, direct features of parent
+transforms, stacking-legality rules, groupby transforms, and
+depth/visit-order semantics — asserted as exact feature-name sets
+hand-derived from the reference algorithm."""
+
+import pytest
+
+import featuretools_spark as fts
+from featuretools_spark.dfs import build_features
+from featuretools_spark.features import IdentityFeature
+
+
+IGNORE = {
+    "lineitem": ["l_partkey", "l_suppkey", "l_linenumber",
+                 "l_tax", "l_returnflag", "l_linestatus"],
+    "customer": ["c_name", "c_nationkey"],
+}
+
+
+def _names(es, **kw):
+    return [f.get_name() for f in build_features(es, **kw)]
+
+
+def test_depth2_stacked_walk_exact(es):
+    """The full customer<-orders<-lineitem walk with [sum, mean, count]:
+    reference Step 3 over deep backward paths stacks the parent's own
+    aggregations; sum never stacks on sum (stack_on_self=False) or
+    count (stack_on_exclude)."""
+    names = _names(es, target_dataframe_name="customer",
+                   agg_primitives=["sum", "mean", "count"],
+                   trans_primitives=[], ignore_columns=IGNORE, max_depth=2)
+    expected = {
+        "c_acctbal", "c_mktsegment",
+        "SUM(orders.o_totalprice)", "MEAN(orders.o_totalprice)",
+        "COUNT(orders)",
+        "SUM(lineitem.l_quantity)", "SUM(lineitem.l_extendedprice)",
+        "SUM(lineitem.l_discount)",
+        "MEAN(lineitem.l_quantity)", "MEAN(lineitem.l_extendedprice)",
+        "MEAN(lineitem.l_discount)", "COUNT(lineitem)",
+        "SUM(orders.MEAN(lineitem.l_quantity))",
+        "SUM(orders.MEAN(lineitem.l_extendedprice))",
+        "SUM(orders.MEAN(lineitem.l_discount))",
+        "MEAN(orders.SUM(lineitem.l_quantity))",
+        "MEAN(orders.SUM(lineitem.l_extendedprice))",
+        "MEAN(orders.SUM(lineitem.l_discount))",
+        "MEAN(orders.MEAN(lineitem.l_quantity))",
+        "MEAN(orders.MEAN(lineitem.l_extendedprice))",
+        "MEAN(orders.MEAN(lineitem.l_discount))",
+        "MEAN(orders.COUNT(lineitem))",
+        "SUM(lineitem.orders.o_totalprice)",
+        "MEAN(lineitem.orders.o_totalprice)",
+    }
+    assert set(names) == expected
+    # stacking legality: sum-on-sum and sum-on-count are prohibited
+    assert "SUM(orders.SUM(lineitem.l_quantity))" not in names
+    assert "SUM(orders.COUNT(lineitem))" not in names
+    # sorted shallow-first, identity features lead
+    assert names[:2] == ["c_acctbal", "c_mktsegment"]
+
+
+def test_depth1_no_grandchild_features(es):
+    """max_depth=1: the lineitem dict is never built (recursion depth
+    ran out), so NO lineitem aggregations exist — not even COUNT."""
+    names = _names(es, target_dataframe_name="customer",
+                   agg_primitives=["sum", "count"], trans_primitives=[],
+                   ignore_columns=IGNORE, max_depth=1)
+    assert "SUM(orders.o_totalprice)" in names
+    assert "COUNT(orders)" in names
+    assert not any("lineitem" in n for n in names)
+
+
+def test_transforms_of_time_index_and_aggs(es):
+    """Reference Step 4: datetime transforms apply to the time index
+    column, and transforms stack on aggregation outputs — but never on
+    other transforms (not_a_transform_input)."""
+    names = _names(es, target_dataframe_name="orders",
+                   agg_primitives=["sum"], trans_primitives=["year",
+                                                             "absolute"],
+                   ignore_columns=IGNORE, max_depth=2)
+    assert "YEAR(o_orderdate)" in names
+    assert "ABSOLUTE(SUM(lineitem.l_quantity))" in names
+    # transforms never take transform outputs
+    assert "ABSOLUTE(YEAR(o_orderdate))" not in names
+
+
+def test_direct_features_of_parent_transforms(es):
+    """Transforms built during the parent's visit (Step 5 recursion)
+    come down as direct features (Step 6): lineitem sees
+    orders.YEAR(o_orderdate); a unary transform of a single direct
+    feature is NOT rebuilt at the child (reference
+    _all_direct_and_same_path exclusion)."""
+    names = _names(es, target_dataframe_name="lineitem",
+                   agg_primitives=[], trans_primitives=["year"],
+                   ignore_columns=IGNORE, max_depth=2)
+    assert "orders.YEAR(o_orderdate)" in names
+    assert "YEAR(l_shipdate)" in names
+    assert "YEAR(orders.YEAR(o_orderdate))" not in names
+    # FK columns on the relationship path never become features
+    assert "orders.o_orderkey" not in names
+
+
+def test_aggs_of_direct_features(es):
+    """Reference Step 3 feature_filter only drops directs OF THE
+    AGGREGATING parent: customer aggregates lineitem's direct pull of
+    orders columns, but orders itself never re-aggregates its own
+    pulled-down values."""
+    cust = _names(es, target_dataframe_name="customer",
+                  agg_primitives=["mean"], trans_primitives=[],
+                  ignore_columns=IGNORE, max_depth=2)
+    assert "MEAN(lineitem.orders.o_totalprice)" in cust
+    ordr = _names(es, target_dataframe_name="orders",
+                  agg_primitives=["mean"], trans_primitives=[],
+                  ignore_columns=IGNORE, max_depth=2)
+    assert "MEAN(lineitem.orders.o_totalprice)" not in ordr
+
+
+def test_where_clause_enumeration_and_stacking_limit(es):
+    """WHERE variants come from interesting_values on the child, only
+    for where_primitives, and never re-filter the agg's own base
+    column; where_stacking_limit=1 stops wheres of where-aggs."""
+    es.add_interesting_values(max_values=2, dataframe_name="events")
+    iv = es.meta["events"].interesting_values["event_type"]
+    names = _names(es, target_dataframe_name="users",
+                   agg_primitives=["count", "num_unique"],
+                   trans_primitives=[], where_primitives=["count"],
+                   max_depth=2)
+    for v in iv:
+        assert f"COUNT(events WHERE event_type = {v})" in names
+        # num_unique is not a where primitive here
+        assert not any(
+            n.startswith("NUM_UNIQUE(") and f"WHERE event_type = {v}" in n
+            for n in names
+        )
+
+
+def test_groupby_transform_enumeration(es):
+    """groupby_trans_primitives partition by FK columns
+    (reference deep_feature_synthesis.py:686-766)."""
+    names = _names(es, target_dataframe_name="events",
+                   agg_primitives=[], trans_primitives=[],
+                   groupby_trans_primitives=["cum_sum"], max_depth=2)
+    assert "CUM_SUM(value) by user_id" in names
+
+
+def test_groupby_transform_executes(spark, es):
+    import datetime as dt
+
+    feats = build_features(es, "events", agg_primitives=[],
+                           trans_primitives=[],
+                           groupby_trans_primitives=["cum_sum"],
+                           max_depth=2)
+    gb = [f for f in feats if f.get_name() == "CUM_SUM(value) by user_id"]
+    fm = fts.calculate_feature_matrix(gb, es,
+                                      cutoff_time=dt.datetime(2024, 3, 1))
+    rows = fm.limit(5).collect()
+    assert rows and gb[0].get_name() in fm.columns
