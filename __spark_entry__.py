@@ -252,12 +252,16 @@ def q_per_row_cutoffs(spark, sf_dir):
 
 
 def q_trend(spark, sf_dir):
+    """reference calculate_trend semantics: dropna pairs, NaN for
+    n<=2, 0 when all x equal, slope scaled by the unit dividend of the
+    first valid timestamp."""
     es = _es_events(spark, sf_dir)
     v = IdentityFeature(es, "events", "value")
     feats = [AggregationFeature(v, "users", "trend", es=es)]
     fm = fts.calculate_feature_matrix(feats, es, cutoff_time=EV_CUTOFF)
     out = _sel(fm, "user_id", {"TREND(events.value)": "trend_v"})
-    out = _scale(out, ["trend_v"])
+    # cents -> dollars and rescale for a round4-meaningful magnitude
+    out = out.withColumn("trend_v", F.col("trend_v") * 864.0)
     return _r4(out, ["trend_v"])
 
 
@@ -944,11 +948,30 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY cu.user_id, cu.t
         """,
         "trend": f"""
+            -- reference calculate_trend: dropna pairs, NaN for n<=2,
+            -- 0 when all x equal, x unit from the first timestamp
+            WITH e2 AS (
+                SELECT user_id, epoch_us(ts)/1e6 AS xs, value
+                FROM {_EC} e WHERE ts <= {_EV} AND value IS NOT NULL
+            ),
+            g AS (
+                SELECT user_id, count(*) AS n,
+                       covar_pop(xs, value) AS cov, var_pop(xs) AS var,
+                       CAST(floor(min(xs)) AS BIGINT) AS f
+                FROM e2 GROUP BY 1
+            )
             SELECT u.user_id,
-                   {_R('CASE WHEN count(e.value) >= 2 AND var_pop(epoch_us(e.ts) / 86400e6) > 0 THEN covar_pop(epoch_us(e.ts) / 86400e6, e.value) / var_pop(epoch_us(e.ts) / 86400e6) END / 100.0')} AS trend_v
+                   {_R('''CASE WHEN g.n <= 2 THEN NULL
+                          WHEN g.var = 0 THEN 0.0
+                          ELSE g.cov / g.var *
+                            (CASE WHEN g.f % 86400 = 0 THEN 86400
+                                  WHEN g.f % 3600 = 0 THEN 3600
+                                  WHEN g.f % 60 = 0 THEN 60
+                                  ELSE 1 END)
+                          END * 864.0''')} AS trend_v
             FROM {_U} u
-            LEFT JOIN {_EC} e ON e.user_id = u.user_id AND e.ts <= {_EV}
-            GROUP BY u.user_id
+            LEFT JOIN g ON g.user_id = u.user_id
+            GROUP BY u.user_id, g.n, g.cov, g.var, g.f
         """,
         "first_last": f"""
             SELECT u.user_id,

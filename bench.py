@@ -34,6 +34,9 @@ HEADLINE = [
     "sessionize",        # inactivity-gap sessions
     "window_transforms", # lag/diff/cum/rolling at event grain
     "training_window",
+    "dfs_depth2",        # stacked depth-2 DFS walk (agg-of-agg)
+    "ewm_by_user",       # per-entity pandas kernel (applyInPandas)
+    "backfill_skew",     # flagship input with one hot entity (~10% of rows)
 ]
 
 # north-rule backfill workload: synthetic pre-tokenized sequences
@@ -93,12 +96,35 @@ def _backfill_queries(sf: float):
             _cache["cuts"] = cuts
         return _cache["cuts"]
 
+    def _skewed(spark):
+        """Same shape, but ONE entity owns ~10% of all rows — the
+        hot-key evidence input (AQE skew-join must split it)."""
+        if "skew_df" in _cache:
+            return _cache["skew_df"], _cache["skew_cuts"]
+        path = f"/tmp/ft_bench_skew_{n_rows}_{max_tok}"
+        try:
+            df = spark.read.parquet(path)
+        except Exception:
+            make_sequences(spark, n_rows=n_rows, n_entities=n_entities,
+                           max_tok=max_tok, hot_row_frac=0.1, n_hot=1) \
+                .write.mode("overwrite").parquet(path)
+            df = spark.read.parquet(path)
+        cuts = make_cutoffs(spark, df, per_entity=4)
+        if os.environ.get("SPARK_GRAFT_BENCH_CACHE") == "1":
+            df = df.cache(); df.count()
+            cuts = cuts.cache(); cuts.count()
+        _cache["skew_df"], _cache["skew_cuts"] = df, cuts
+        return df, cuts
+
     def prepare(spark):
         _materialized(spark)
         _cutoffs(spark)
+        _skewed(spark)
 
-    def run(spark, strategy):
-        seqs = _materialized(spark)
+    def run(spark, strategy, seqs=None, cuts=None):
+        if seqs is None:
+            seqs = _materialized(spark)
+            cuts = _cutoffs(spark)
         ents = make_entities(seqs)
         es = fts.EntitySet("bench_seq")
         es.add_dataframe("entities", ents, index="entity_id",
@@ -106,7 +132,6 @@ def _backfill_queries(sf: float):
         es.add_dataframe("sequences", seqs, index="doc_id",
                          time_index="event_time")
         es.add_relationship("entities", "entity_id", "sequences", "entity_id")
-        cuts = _cutoffs(spark)
         n_tok = IdentityFeature(es, "sequences", "n_tok")
         did = IdentityFeature(es, "sequences", "doc_id")
         ts = IdentityFeature(es, "sequences", "event_time")
@@ -120,9 +145,14 @@ def _backfill_queries(sf: float):
         return fts.calculate_feature_matrix(feats, es, cutoff_time=cuts,
                                             strategy=strategy)
 
+    def run_skew(spark):
+        seqs, cuts = _skewed(spark)
+        return run(spark, "join", seqs=seqs, cuts=cuts)
+
     return {
         "backfill_seq": lambda spark, sf_dir: run(spark, "join"),
         "backfill_seq_sm": lambda spark, sf_dir: run(spark, "sortmerge"),
+        "backfill_skew": lambda spark, sf_dir: run_skew(spark),
         "__prepare__": prepare,
     }
 
@@ -146,17 +176,28 @@ def run_once(sf_dir: str, cpus: int, queries=None) -> dict:
     qs = dict(entrymod.queries())
     qs.update(_backfill_queries(sf))
     names = queries or HEADLINE
-    # warm-up: JVM + parquet footer caches + Arrow path + bench input
+    # warm-up: JVM codegen + parquet footer caches + broadcast
+    # machinery + the Arrow/Python-worker pool + bench input — a cold
+    # first query otherwise pays one-time costs that aren't the
+    # operator's (r1 recorded per_row_cutoffs at 27.9s cold vs 5.8s
+    # warm for the identical plan)
     spark.range(1000).selectExpr("sum(id)").collect()
     qs.pop("__prepare__")(spark)
     qs["agg_basic"](spark, sf_dir).count()
+    big = spark.range(1_000_000).selectExpr("id", "id % 97 AS k")
+    small = spark.range(97).selectExpr("id AS k", "id * 2 AS v")
+    big.join(small.hint("broadcast"), "k").selectExpr("sum(v)").collect()
+    big.mapInPandas(lambda it: it, "id long, k long").selectExpr(
+        "count(*)").collect()
     secs, rows = {}, {}
     for name in names:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
-        n = df.count()
+        # noop write forces EVERY column to materialize; count() lets
+        # Catalyst prune aggregate expressions the count doesn't need
+        df.write.format("noop").mode("overwrite").save()
         secs[name] = round(time.time() - t0, 3)
-        rows[name] = n
+        rows[name] = df.count()  # post-timing; reuses shuffle outputs
     total = round(sum(secs.values()), 3)
     # feature-rows/sec for the flagship as-of backfill: output rows ×
     # feature columns per second (the BASELINE.json metric)

@@ -519,7 +519,7 @@ def _asof_sortmerge(child, key_col, time_col, cutoffs, instance_col, specs,
                 "sum": np.concatenate(([0.0], np.cumsum(vz))),
                 "sumsq": np.concatenate(([0.0], np.cumsum(vz * vz))),
             }
-            tx = np.where(valid, et / 86400e6, 0.0)
+            tx = np.where(valid, et / 1e6, 0.0)  # epoch seconds
             p["tsum"] = np.concatenate(([0.0], np.cumsum(tx)))
             p["t2sum"] = np.concatenate(([0.0], np.cumsum(tx * tx)))
             if col is not None:
@@ -605,15 +605,33 @@ def _asof_sortmerge(child, key_col, time_col, cutoffs, instance_col, specs,
                     ok2 = ok & (n > 1)
                     res[ok2] = ((t_last - t_first) / 1e6)[ok2] / (n[ok2] - 1)
             elif pname == "trend":
+                # reference calculate_trend parity: n<=2 -> NaN,
+                # all-equal x -> 0, slope scaled by the unit dividend
+                # of the first valid timestamp (whole days/hours/min)
                 sx = p["tsum"][hi] - p["tsum"][lo]
                 sx2 = p["t2sum"][hi] - p["t2sum"][lo]
                 sy = p["sum"][hi] - p["sum"][lo]
                 sxy = p["tysum"][hi] - p["tysum"][lo]
+                vidx = p["vidx"]
+                pos_first = np.searchsorted(vidx, lo, side="left")
+                safe = np.minimum(pos_first, max(len(vidx) - 1, 0))
+                t_first = (et[vidx[safe]] if len(vidx)
+                           else np.zeros(nC, dtype=np.int64))
+                fsec = np.floor(t_first / 1e6)
+                div = np.where(
+                    fsec % 86400 == 0, 86400.0,
+                    np.where(fsec % 3600 == 0, 3600.0,
+                             np.where(fsec % 60 == 0, 60.0, 1.0)),
+                )
                 with np.errstate(invalid="ignore", divide="ignore"):
                     varx = sx2 / n - (sx / n) ** 2
                     cov = sxy / n - (sx / n) * (sy / n)
-                    ok = (n >= 2) & (varx > 0)
-                    res[ok] = (cov / varx)[ok]
+                    # prefix-sum cancellation guard: relative epsilon
+                    zero_var = varx <= 1e-12 * np.maximum(sx2 / n, 1e-300)
+                    ok3 = n >= 3
+                    res[ok3 & zero_var] = 0.0
+                    ok = ok3 & ~zero_var
+                    res[ok] = (cov / varx * div)[ok]
             out[out_name] = res
         yield pd.DataFrame(out)
 

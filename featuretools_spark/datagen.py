@@ -24,9 +24,13 @@ def make_sequences(
     n_entities: int = 500,
     max_tok: int = 512,
     hot_row_frac: float = 0.3,
+    n_hot: int | None = None,
 ) -> DataFrame:
-    """One row per pre-tokenized training sequence."""
-    n_hot = max(1, n_entities // 100)
+    """One row per pre-tokenized training sequence. n_hot entities
+    share hot_row_frac of all rows (default ~1% of entities own ~30%);
+    pass n_hot=1 for a single pathological hot key (skew benches)."""
+    if n_hot is None:
+        n_hot = max(1, n_entities // 100)
     df = spark.range(n_rows)
     i = F.col("id")
     h = lambda *salts: F.abs(F.hash(i.cast("int"), *[F.lit(s) for s in salts]))

@@ -79,6 +79,8 @@ _STACK_ON_EXCLUDE = {"sum": {"count"}, "num_true": set(),
 
 
 def _column_kind(es: EntitySet, table: str, col: str) -> str:
+    from featuretools_spark.schema import TYPED_STRING_KINDS
+
     cs = es.meta[table].column_schemas.get(col)
     if cs is None:
         return "any"
@@ -93,8 +95,8 @@ def _column_kind(es: EntitySet, table: str, col: str) -> str:
         return "boolean"
     if cs.is_datetime():
         return "datetime"
-    if cs.is_text():
-        return "text"
+    if cs.logical_type in TYPED_STRING_KINDS:
+        return TYPED_STRING_KINDS[cs.logical_type]
     if cs.is_numeric():
         return "numeric"
     if cs.logical_type == "LatLong":

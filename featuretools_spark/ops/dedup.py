@@ -73,11 +73,18 @@ def minhash_signature(
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, id_col: str, num_perm: int = 64, bands: int = 16
+    sig: DataFrame, id_col: str, num_perm: int = 64, bands: int = 16,
+    max_bucket_size: int | None = 2000,
 ) -> DataFrame:
     """MinHash-LSH: band the signature, bucket-join, estimate Jaccard
     as the fraction of equal minhash components. Returns
-    (id_a, id_b, est_jaccard) with id_a < id_b, deduped across bands."""
+    (id_a, id_b, est_jaccard) with id_a < id_b, deduped across bands.
+
+    max_bucket_size caps degenerate buckets (empty docs, boilerplate):
+    one hot bucket of b rows costs b^2/2 join outputs, so buckets above
+    the cap are dropped before the self-join — those docs are trivially
+    near-identical cliques better handled by exact_duplicates. Pass
+    None to disable."""
     rows = num_perm // bands
     banded = sig.select(
         F.col(id_col),
@@ -100,6 +107,13 @@ def lsh_candidate_pairs(
         ).alias("bb"),
     ).select(id_col, "minhash", F.col("bb.band").alias("band"),
              F.col("bb.bucket").alias("bucket"))
+    if max_bucket_size is not None:
+        bw = W.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("_bsz", F.count(F.lit(1)).over(bw))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -175,9 +189,17 @@ def hamming_distance(a, b):
 def simhash_near_duplicates(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block on 4 16-bit chunks (a pair
-    within hamming<=3 of 64 bits shares at least one exact 16-bit
-    chunk — pigeonhole), then verify with exact hamming distance."""
+    """Near-dup pairs by SimHash with pigeonhole blocking: the 64-bit
+    signature splits into (max_hamming + 1) chunks — a pair within the
+    hamming bound MUST share at least one exact chunk, so blocking on
+    chunks has perfect recall at the requested bound — then candidate
+    pairs are verified with the exact hamming distance."""
+    n_chunks = max_hamming + 1
+    if n_chunks > 64:
+        raise ValueError("max_hamming must be < 64")
+    base, extra = divmod(64, n_chunks)
+    widths = [base + (1 if i < extra else 0) for i in range(n_chunks)]
+    starts = [sum(widths[:i]) for i in range(n_chunks)]
     sig = simhash64(df, id_col, text_col)
     chunks = sig.select(
         id_col, "simhash",
@@ -185,10 +207,10 @@ def simhash_near_duplicates(
             F.array(*[
                 F.struct(
                     F.lit(i).alias("chunk_idx"),
-                    F.shiftrightunsigned(F.col("simhash"), 16 * i)
-                    .bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                    F.shiftrightunsigned(F.col("simhash"), starts[i])
+                    .bitwiseAND(F.lit((1 << widths[i]) - 1)).alias("chunk"),
                 )
-                for i in range(4)
+                for i in range(n_chunks)
             ])
         ).alias("c"),
     ).select(id_col, "simhash", "c.chunk_idx", "c.chunk")
@@ -217,12 +239,22 @@ def simhash_near_duplicates(
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, k: int = 5,
     threshold: float = 0.5, candidates: DataFrame | None = None,
+    max_rows_all_pairs: int = 200_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard between candidate pairs. If candidates is
     None, all pairs sharing at least one shingle-bucket are considered
-    (fine at test scale; at 100 TB always pass LSH candidates)."""
+    — an O(n^2/32) shape that is REFUSED above max_rows_all_pairs rows:
+    at corpus scale always pass LSH candidates
+    (lsh_candidate_pairs / simhash_near_duplicates)."""
     sh = df.select(F.col(id_col), shingles(F.col(text_col), k).alias("sh"))
     if candidates is None:
+        n = df.count()
+        if n > max_rows_all_pairs:
+            raise ValueError(
+                f"ngram_jaccard_pairs without candidates is quadratic: "
+                f"{n} rows > max_rows_all_pairs={max_rows_all_pairs}; "
+                f"pass LSH candidate pairs instead"
+            )
         bucket = sh.select(
             id_col, "sh",
             F.explode(F.transform("sh", lambda s: F.pmod(F.hash(s), F.lit(32)))).alias("b"),

@@ -67,28 +67,42 @@ def brute_force_topk(
     )
 
 
-def _plane_component(plane: int, dim: int, seed: int = 42):
-    """Deterministic pseudo-random plane component in [-1, 1): derived
-    from hash(seed, plane, dim) — reproducible across runs/executors
-    with no RNG state."""
-    h = F.hash(F.lit(seed), F.lit(plane), F.lit(dim))
-    return (F.pmod(h, F.lit(2001)).cast("double") - 1000.0) / 1000.0
-
-
 def rh_signature(df: DataFrame, vec_col: str, n_planes: int = 16,
-                 seed: int = 42, dim: int | None = None) -> DataFrame:
-    """Append an int signature column `rh_sig`: bit p = sign of the
-    dot product with pseudo-random plane p."""
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
-    sig = F.lit(0).cast("long")
+                 seed: int = 42) -> DataFrame:
+    """Append a long signature column `rh_sig`: bit p = sign of the
+    dot product with pseudo-random plane p. Plane components are
+    hash-derived in [-1, 1) on the fly (hash(seed, plane, position) —
+    deterministic across runs/executors, no RNG state), and the whole
+    signature is ONE nested array-aggregate expression: plan size is
+    O(1) in both n_planes and embedding dimension (the old per-term
+    unrolling built ~n_planes x dim Column nodes — ~9k at dim=768),
+    and no driver action is needed to discover the dimension."""
     v = F.col(vec_col)
-    for p in range(n_planes):
-        dot = None
-        for d in range(dim):
-            term = F.element_at(v, d + 1).cast("double") * _plane_component(p, d, seed)
-            dot = term if dot is None else dot + term
-        sig = sig + F.when(dot > 0, F.lit(2 ** p).cast("long")).otherwise(0)
+
+    def plane_component(p, d):
+        h = F.hash(F.lit(seed), p.cast("int"), d.cast("int"))
+        return (F.pmod(h, F.lit(2001)).cast("double") - 1000.0) / 1000.0
+
+    def dot_with_plane(p):
+        return F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(0), F.size(v) - 1),
+                lambda x, d: x.cast("double") * plane_component(p, d),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # fold planes high-to-low: acc*2 + sign_bit (shiftleft needs a
+    # literal shift amount, so build the integer positionally)
+    sig = F.aggregate(
+        F.sequence(F.lit(n_planes - 1), F.lit(0), F.lit(-1)),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc * F.lit(2).cast("long") + F.when(
+            dot_with_plane(p) > 0, F.lit(1).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
+    )
     return df.withColumn("rh_sig", sig)
 
 
@@ -101,36 +115,48 @@ def lsh_topk(
     query_vec_col: str = "query_vec",
     k: int = 10,
     n_planes: int = 12,
+    n_tables: int = 8,
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus rows whose
-    random-hyperplane signature matches the query's in at least one of
-    three 4-bit bands; exact cosine re-rank inside the candidate set."""
-    dim = len(corpus.select(vec_col).first()[0])
-    c = rh_signature(corpus, vec_col, n_planes, seed, dim)
-    q = rh_signature(
+    random-hyperplane signature matches the query's in at least one
+    4-bit band of any of n_tables independent hash tables; exact
+    cosine re-rank inside the candidate set. Recall is tuned by
+    n_tables (more tables -> higher recall, more candidates) and by
+    band width (n_planes/3 bits -> wider bands are more selective at
+    corpus scale)."""
+
+    def with_sigs(df, vcol):
+        for t in range(n_tables):
+            df = rh_signature(df, vcol, n_planes, seed + 7919 * t) \
+                .withColumnRenamed("rh_sig", f"__sig{t}")
+        return df
+
+    c = with_sigs(corpus, vec_col)
+    q = with_sigs(
         queries.select(
             F.col(query_id_col).alias("__qid"),
             F.col(query_vec_col).alias("__qv"),
         ),
-        "__qv", n_planes, seed, dim,
-    ).withColumnRenamed("rh_sig", "q_sig")
+        "__qv",
+    )
     band_bits = n_planes // 3
     mask = (1 << band_bits) - 1
 
-    def bands(col):
+    def bands(prefix):
         return F.array(*[
             F.struct(
-                F.lit(i).alias("band"),
-                F.shiftrightunsigned(col, band_bits * i)
+                F.lit(t * 3 + i).alias("band"),
+                F.shiftrightunsigned(F.col(f"{prefix}{t}"), band_bits * i)
                 .bitwiseAND(F.lit(mask)).alias("val"),
             )
+            for t in range(n_tables)
             for i in range(3)
         ])
 
-    cb = c.select(id_col, vec_col, F.explode(bands(F.col("rh_sig"))).alias("b")) \
+    cb = c.select(id_col, vec_col, F.explode(bands("__sig")).alias("b")) \
           .select(id_col, vec_col, "b.band", "b.val")
-    qb = q.select("__qid", "__qv", F.explode(bands(F.col("q_sig"))).alias("b")) \
+    qb = q.select("__qid", "__qv", F.explode(bands("__sig")).alias("b")) \
           .select("__qid", "__qv", "b.band", "b.val")
     cand = cb.join(F.broadcast(qb), on=["band", "val"]).dropDuplicates(
         ["__qid", id_col]

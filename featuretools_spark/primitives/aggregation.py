@@ -490,16 +490,38 @@ class NUniqueDaysOfCalendarYear(AggregationPrimitive):
 # ----------------------------------------------------------------------
 @agg_primitive
 class Trend(AggregationPrimitive):
+    """OLS slope of value over time — reference calculate_trend
+    (utils/time_utils.py:111-139) semantics exactly: pairs dropna'd,
+    NaN for n <= 2, 0 when every x is equal, and x scaled by a
+    data-dependent unit chosen from the FIRST valid timestamp
+    (find_dividend_by_unit: whole days -> days, whole hours -> hours,
+    whole minutes -> minutes, else seconds)."""
+
     name = "trend"
     uses_time_index = True
 
     def expr(self, inputs, ctx):
         y = inputs[0].cast("double")
-        x = _ts_sec(ctx.time) / F.lit(86400.0)  # fractional days
-        n = F.count(F.when(y.isNotNull() & x.isNotNull(), 1))
-        cov = F.covar_pop(x, y)
-        var = F.var_pop(F.when(y.isNotNull(), x))
-        return F.when((n >= 2) & (var > 0), cov / var)
+        xs = _ts_sec(ctx.time)  # epoch seconds, fractional
+        valid = y.isNotNull() & xs.isNotNull()
+        xv = F.when(valid, xs)
+        yv = F.when(valid, y)
+        n = F.count(xv)
+        cov = F.covar_pop(xv, yv)
+        var = F.var_pop(xv)
+        # frames are time-sorted, so the first valid x is the min
+        first_i = F.floor(F.min(xv)).cast("long")
+        div = (
+            F.when(F.pmod(first_i, F.lit(86400)) == 0, F.lit(86400.0))
+            .when(F.pmod(first_i, F.lit(3600)) == 0, F.lit(3600.0))
+            .when(F.pmod(first_i, F.lit(60)) == 0, F.lit(60.0))
+            .otherwise(F.lit(1.0))
+        )
+        return (
+            F.when(n <= 2, F.lit(None).cast("double"))
+            .when(var == 0, F.lit(0.0))
+            .otherwise(cov / var * div)
+        )
 
 
 # ----------------------------------------------------------------------

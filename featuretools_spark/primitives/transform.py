@@ -154,6 +154,21 @@ class ModuloNumericScalar(_ScalarTransform):
 
 
 @transform_primitive
+class ModuloByFeature(_ScalarTransform):
+    """scalar % feature (reference transform/binary/
+    modulo_by_feature.py:6-37): pandas `value % series` follows
+    Python sign-of-divisor semantics, NaN on zero divisors."""
+
+    name = "modulo_by_feature"
+
+    def expr(self, inputs, ctx):
+        a, b = F.lit(float(self.value)), inputs[0].cast("double")
+        return F.when(b != 0, ((a % b) + b) % b).otherwise(
+            F.lit(float("nan"))
+        )
+
+
+@transform_primitive
 class And(TransformPrimitive):
     name = "and"
     n_inputs = 2
@@ -985,7 +1000,7 @@ class IsFreeEmailDomain(TransformPrimitive):
 @transform_primitive
 class FileExtension(TransformPrimitive):
     name = "file_extension"
-    input_kinds = ("category",)
+    input_kinds = ("file_path",)
     return_kind = "category"
 
     def expr(self, inputs, ctx):
@@ -996,7 +1011,7 @@ class FileExtension(TransformPrimitive):
 @transform_primitive
 class OneDigitPostalCode(TransformPrimitive):
     name = "one_digit_postal_code"
-    input_kinds = ("category",)
+    input_kinds = ("postal_code",)
     return_kind = "category"
 
     def expr(self, inputs, ctx):
@@ -1006,7 +1021,7 @@ class OneDigitPostalCode(TransformPrimitive):
 @transform_primitive
 class TwoDigitPostalCode(TransformPrimitive):
     name = "two_digit_postal_code"
-    input_kinds = ("category",)
+    input_kinds = ("postal_code",)
     return_kind = "category"
 
     def expr(self, inputs, ctx):
@@ -1016,7 +1031,7 @@ class TwoDigitPostalCode(TransformPrimitive):
 @transform_primitive
 class FullNameToFirstName(TransformPrimitive):
     name = "full_name_to_first_name"
-    input_kinds = ("category",)
+    input_kinds = ("person_full_name",)
     return_kind = "category"
 
     def expr(self, inputs, ctx):
@@ -1028,7 +1043,7 @@ class FullNameToFirstName(TransformPrimitive):
 @transform_primitive
 class FullNameToLastName(TransformPrimitive):
     name = "full_name_to_last_name"
-    input_kinds = ("category",)
+    input_kinds = ("person_full_name",)
     return_kind = "category"
 
     def expr(self, inputs, ctx):
@@ -1038,7 +1053,7 @@ class FullNameToLastName(TransformPrimitive):
 @transform_primitive
 class FullNameToTitle(TransformPrimitive):
     name = "full_name_to_title"
-    input_kinds = ("category",)
+    input_kinds = ("person_full_name",)
     return_kind = "category"
 
     def expr(self, inputs, ctx):
@@ -1064,6 +1079,24 @@ class Lag(_WindowTransform):
 
     def expr(self, inputs, ctx):
         return F.lag(inputs[0], self.periods).over(ctx.window())
+
+
+@transform_primitive
+class NumericLag(_WindowTransform):
+    """Deprecated alias of Lag kept for reference name parity
+    (transform/time_series/numeric_lag.py:9)."""
+
+    name = "numeric_lag"
+
+    def __init__(self, periods=1, fill_value=None):
+        self.periods = periods
+        self.fill_value = fill_value
+
+    def expr(self, inputs, ctx):
+        lagged = F.lag(inputs[0], self.periods).over(ctx.window())
+        if self.fill_value is not None:
+            lagged = F.coalesce(lagged, F.lit(self.fill_value))
+        return lagged
 
 
 @transform_primitive
@@ -1677,7 +1710,7 @@ class UpperCaseWordCount(_Text):
 
 @transform_primitive
 class DateToTimeZone(_DT):
-    name = "date_to_timezone"
+    name = "date_to_time_zone"
     return_kind = "category"
 
     def expr(self, inputs, ctx):

@@ -25,7 +25,26 @@ NATURAL_LANGUAGE = "NaturalLanguage"
 LATLONG = "LatLong"  # struct<lat:double, lng:double>
 URL = "URL"
 EMAIL = "EmailAddress"
+POSTAL_CODE = "PostalCode"
+IP_ADDRESS = "IPAddress"
+PERSON_FULL_NAME = "PersonFullName"
+PHONE_NUMBER = "PhoneNumber"
+FILE_PATH = "Filepath"
 TOKENS = "Tokens"  # array<int> — pass-through payload, never enters UDFs
+
+# logical type -> DFS matching kind for the typed string columns the
+# reference models as distinct Woodwork types (entityset.py:610-632):
+# enumeration only offers URL transforms to URL columns, etc.
+TYPED_STRING_KINDS = {
+    URL: "url",
+    EMAIL: "email",
+    POSTAL_CODE: "postal_code",
+    IP_ADDRESS: "ip_address",
+    PERSON_FULL_NAME: "person_full_name",
+    PHONE_NUMBER: "phone_number",
+    FILE_PATH: "file_path",
+    NATURAL_LANGUAGE: "text",
+}
 
 _NUMERIC_SPARK = (
     T.ByteType,

@@ -61,6 +61,11 @@ _KIND_COL = {
     "latlong": ["loc", "loc2"],
     "url": ["url", "url"],
     "email": ["email", "email"],
+    "postal_code": ["postal", "postal"],
+    "file_path": ["path", "path"],
+    "person_full_name": ["name", "name"],
+    "phone_number": ["cat", "cat"],
+    "ip_address": ["cat", "cat"],
     "any": ["num", "num2"],
     "index": ["id", "id"],
 }
@@ -76,14 +81,6 @@ def _cols_for(prim):
         kinds = tuple(list(kinds) + ["numeric"] * (prim.n_inputs - len(kinds)))
     cols = []
     for i, k in enumerate(kinds[: prim.n_inputs]):
-        # special cases where the declared kind is loose
-        name = prim.name
-        if name in ("one_digit_postal_code", "two_digit_postal_code"):
-            return ["postal"][: prim.n_inputs]
-        if name == "file_extension":
-            return ["path"]
-        if name.startswith("full_name"):
-            return ["name"]
         cands = _KIND_COL.get(k, ["num", "num2"])
         cols.append(cands[min(i, len(cands) - 1)])
     return cols

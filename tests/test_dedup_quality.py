@@ -1,0 +1,144 @@
+"""Quantitative pass criteria for the hash-specific (no-SQL-oracle)
+ops: SimHash blocking recall vs brute-force hamming, MinHash-LSH
+recall/precision on planted near-duplicates, ANN-LSH recall@k vs the
+exact brute-force baseline, fingerprint determinism/robustness."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from featuretools_spark.ops.dedup import (
+    hamming_distance,
+    minhash_duplicates,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_duplicates,
+)
+from featuretools_spark.ops.similarity import brute_force_topk, lsh_topk
+from featuretools_spark.ops.textstats import fingerprint
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_WORDS = [
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+    "oscar", "papa", "quebec", "romeo", "sierra", "tango",
+]
+
+
+def _doc(i, mutate=None):
+    """Deterministic 40-word document; mutate=j swaps word j."""
+    words = [_WORDS[(i * 7 + j * 3) % len(_WORDS)] + str((i + j) % 9)
+             for j in range(40)]
+    if mutate is not None:
+        words[mutate] = "zz" + words[mutate]
+    return " ".join(words)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """120 distinct docs + 12 planted near-copies (1 word of 40
+    changed -> shingle Jaccard ~0.9)."""
+    rows = [(i, _doc(i)) for i in range(120)]
+    rows += [(1000 + i, _doc(i, mutate=(i * 5) % 40)) for i in range(12)]
+    return spark.createDataFrame(rows, "doc_id int, text string").cache()
+
+
+def test_simhash_blocking_recall_exact(spark, planted):
+    """The pigeonhole fix: with max_hamming=h the blocking join must
+    find EVERY pair whose exact 64-bit hamming distance is <= h —
+    verified against the brute-force all-pairs distance."""
+    for h in (3, 6):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in simhash_near_duplicates(
+                planted, "doc_id", "text", max_hamming=h
+            ).collect()
+        }
+        sig = simhash64(planted, "doc_id", "text")
+        a = sig.select(F.col("doc_id").alias("id_a"),
+                       F.col("simhash").alias("sh_a"))
+        b = sig.select(F.col("doc_id").alias("id_b"),
+                       F.col("simhash").alias("sh_b"))
+        brute = {
+            (r["id_a"], r["id_b"])
+            for r in a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(hamming_distance(F.col("sh_a"), F.col("sh_b")) <= h)
+            .collect()
+        }
+        assert got == brute, f"hamming<={h}: blocking missed pairs"
+        if h == 6:
+            # the planted near-copies should mostly land within 6 bits
+            planted_found = sum(1 for (x, y) in got if y == x + 1000)
+            assert planted_found >= 8
+
+
+def test_minhash_planted_recall_precision(spark, planted):
+    pairs = minhash_duplicates(planted, "doc_id", "text", num_perm=64,
+                               bands=16, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+    planted_pairs = {(i, 1000 + i) for i in range(12)}
+    found = planted_pairs & set(got)
+    assert len(found) >= 11, f"recall {len(found)}/12"
+    # precision: every reported pair must be a true near-dup (exact
+    # 5-gram Jaccard >= 0.4)
+    if got:
+        cands = spark.createDataFrame(
+            [(a, b) for a, b in got], "id_a int, id_b int"
+        )
+        exact = ngram_jaccard_pairs(planted, "doc_id", "text", k=5,
+                                    threshold=0.0, candidates=cands)
+        jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in exact.collect()}
+        bad = [p for p in got if jac.get(p, 0.0) < 0.4]
+        assert not bad, f"false positives: {bad[:5]}"
+        # estimator quality on the found planted pairs
+        for p in found:
+            assert abs(got[p] - jac[p]) < 0.3
+
+
+def test_ngram_jaccard_refuses_quadratic(spark, planted):
+    with pytest.raises(ValueError, match="quadratic"):
+        ngram_jaccard_pairs(planted, "doc_id", "text",
+                            max_rows_all_pairs=10).collect()
+
+
+def test_lsh_topk_recall_at_k(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    kw = dict(id_col="vec_id", vec_col="embedding", k=5)
+    exact = brute_force_topk(corpus, queries, **kw).collect()
+    approx = lsh_topk(corpus, queries, n_planes=12, **kw).collect()
+    truth: dict = {}
+    for r in exact:
+        truth.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = tot = 0
+    for r in approx:
+        tot += 0  # counted via truth below
+        if r["vec_id"] in truth.get(r["query_id"], set()):
+            hits += 1
+    tot = sum(len(v) for v in truth.values())
+    assert tot > 0
+    recall = hits / tot
+    assert recall >= 0.9, f"recall@5 = {recall:.2f}"
+
+
+def test_fingerprint_determinism_and_robustness(spark):
+    rows = [
+        (1, "The quick  Brown fox\njumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "the quick brown fox jumps over the lazy dog and then naps"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    fp = {r["doc_id"]: r for r in fingerprint(df, "doc_id", "text").collect()}
+    # whitespace + case normalization: 1 and 2 are identical
+    assert fp[1]["exact_fp"] == fp[2]["exact_fp"]
+    assert fp[1]["min_gram_fp"] == fp[2]["min_gram_fp"]
+    # appending text can only widen the gram set: min never increases
+    assert fp[3]["min_gram_fp"] <= fp[2]["min_gram_fp"]
+    assert fp[3]["max_gram_fp"] >= fp[2]["max_gram_fp"]
+    # prefix-sharing doc differs in exact fp
+    assert fp[3]["exact_fp"] != fp[2]["exact_fp"]

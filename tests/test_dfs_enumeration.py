@@ -144,6 +144,45 @@ def test_groupby_transform_enumeration(es):
     assert "CUM_SUM(value) by user_id" in names
 
 
+def test_typed_string_columns_gate_enumeration(spark):
+    """Woodwork-style logical types (URL, EmailAddress, PostalCode,
+    PersonFullName, Filepath — reference entityset.py:610-632) gate
+    which transforms enumerate: URL transforms only on URL columns,
+    never on plain categoricals."""
+    import featuretools_spark as fts
+
+    df = spark.createDataFrame(
+        [(1, "https://a.io/x", "bo@gmail.com", "94105",
+          "Dr. Ada Lovelace", "/tmp/a.txt", "plain")],
+        "id int, homepage string, contact string, zip string, "
+        "fullname string, doc string, label string",
+    )
+    es = fts.EntitySet("typed")
+    es.add_dataframe(
+        "t", df, index="id",
+        logical_types={"homepage": "URL", "contact": "EmailAddress",
+                       "zip": "PostalCode", "fullname": "PersonFullName",
+                       "doc": "Filepath"},
+    )
+    names = _names(
+        es, target_dataframe_name="t", agg_primitives=[],
+        trans_primitives=["url_to_domain", "email_address_to_domain",
+                          "one_digit_postal_code", "full_name_to_title",
+                          "file_extension"],
+        max_depth=1,
+    )
+    assert "URL_TO_DOMAIN(homepage)" in names
+    assert "EMAIL_ADDRESS_TO_DOMAIN(contact)" in names
+    assert "ONE_DIGIT_POSTAL_CODE(zip)" in names
+    assert "FULL_NAME_TO_TITLE(fullname)" in names
+    assert "FILE_EXTENSION(doc)" in names
+    # the plain categorical column matches NONE of the typed transforms
+    assert not any("(label)" in n for n in names)
+    # typed string identity columns are not themselves returned
+    # (reference return_types keeps numeric/category/boolean only)
+    assert "homepage" not in names and "label" in names
+
+
 def test_groupby_transform_executes(spark, es):
     import datetime as dt
 

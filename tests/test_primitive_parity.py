@@ -191,16 +191,22 @@ def test_agg_entropy_scipy(spark, small_sdf, small_pdf):
 
 
 def test_agg_trend_ols(spark, small_sdf, small_pdf):
+    """reference calculate_trend (utils/time_utils.py:111-139): dropna,
+    NaN for n<=2, 0 when all x equal, x scaled by the unit dividend of
+    the first valid timestamp."""
     def trend(s):
-        ok = s["val"].notna()
-        if ok.sum() < 2:
+        ok = s["val"].notna() & s["ts"].notna()
+        if ok.sum() <= 2:
             return None
-        x = s.loc[ok, "ts"].astype("int64").values / 1e9 / 86400.0
+        xs = s.loc[ok, "ts"].astype("int64").values / 1e9  # seconds
         y = s.loc[ok, "val"].values
-        if np.var(x) == 0:
-            return None
+        first = int(xs[0])
+        div = next((d for d in (86400, 3600, 60) if first % d == 0), 1)
+        x = xs / div
+        if len(np.unique(x)) == 1:
+            return 0.0
         return float(np.cov(x, y, bias=True)[0, 1] / np.var(x))
-    _agg_parity(spark, small_sdf, small_pdf, "trend", "val", trend, tol=1e-7)
+    _agg_parity(spark, small_sdf, small_pdf, "trend", "val", trend, tol=1e-6)
 
 
 def test_agg_consecutive_and_peaks(spark, small_sdf, small_pdf):

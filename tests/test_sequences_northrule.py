@@ -2,6 +2,8 @@
 zero temporal leakage, token-array pass-through equality,
 partitioning invariance, include_cutoff_time semantics."""
 
+import datetime as dt
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -137,6 +139,44 @@ def test_token_passthrough_equality(spark, seq_es):
     assert orig == got
 
 
+def test_nullable_agg_output_types(spark, seq_es):
+    """Reference promotes pandas dtypes to nullable (Int64/boolean)
+    when NULLs appear in agg outputs (calculate_feature_matrix.py:
+    906-931). The Spark-native equivalent: every agg output column is
+    a NULLABLE Spark type and integer aggregates KEEP their integral
+    type when a group is empty (NULL, never NaN-upcast-to-double)."""
+    es, seqs = seq_es
+    # a cutoff before everything -> every group empty at that cutoff
+    cuts = spark.createDataFrame(
+        [("e00001", dt.datetime(2000, 1, 1)),
+         ("e00001", dt.datetime(2030, 1, 1))],
+        "entity_id string, time timestamp",
+    )
+    n_tok = IdentityFeature(es, "sequences", "n_tok")
+    feats = [
+        AggregationFeature(n_tok, "entities", "sum", es=es),
+        AggregationFeature(n_tok, "entities", "max", es=es),
+        AggregationFeature(
+            IdentityFeature(es, "sequences", "doc_id"), "entities",
+            "count", es=es),
+    ]
+    fm = fts.calculate_feature_matrix(feats, es, cutoff_time=cuts)
+    types = {f.name: (f.dataType.simpleString(), f.nullable)
+             for f in fm.schema.fields}
+    assert types["SUM(sequences.n_tok)"][0] == "bigint"
+    assert types["MAX(sequences.n_tok)"][0] == "int"
+    assert types["COUNT(sequences)"][0] == "bigint"
+    # aggregates without a default fill stay NULLABLE (the analog of
+    # the reference's Int64 promotion); defaulted ones (sum/count ->
+    # 0) may be non-null — that IS the default semantics
+    assert types["MAX(sequences.n_tok)"][1]
+    rows = {r["time"].year: r for r in fm.collect()}
+    assert rows[2000]["MAX(sequences.n_tok)"] is None  # NULL, not NaN
+    assert rows[2000]["COUNT(sequences)"] == 0         # count default
+    assert rows[2000]["SUM(sequences.n_tok)"] == 0     # sum default
+    assert rows[2030]["MAX(sequences.n_tok)"] is not None
+
+
 def _assert_close(a, b):
     assert set(a) == set(b)
     bad = []
@@ -166,6 +206,7 @@ def test_sortmerge_matches_join_windows(spark, seq_es, include_cutoff, window):
         AggregationFeature(n_tok, "entities", "std", es=es),
         AggregationFeature(n_tok, "entities", "min", es=es),
         AggregationFeature(n_tok, "entities", "max", es=es),
+        AggregationFeature(n_tok, "entities", "trend", es=es),
         # routed to the join strategy inside strategy='sortmerge'
         AggregationFeature(n_tok, "entities", "median", es=es),
         AggregationFeature(src, "entities", "num_unique", es=es),
