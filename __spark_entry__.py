@@ -90,6 +90,21 @@ def _r4(df: DataFrame, cols: list[str]) -> DataFrame:
     return df
 
 
+def _r4e(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Epsilon-shifted round4 for columns built by SUMS OF DOUBLES:
+    partial-aggregation order varies run to run, so a value landing
+    exactly on a .00005 boundary can flip sides; shifting the boundary
+    by 1e-6 (on BOTH engines) makes the comparison order-stable."""
+    for c in cols:
+        x = F.col(c).cast("double")
+        df = df.withColumn(
+            c,
+            F.floor(x * 10000.0 + F.lit(0.5) + F.lit(1e-6)).cast("double")
+            / 10000.0,
+        )
+    return df
+
+
 def _scale(df: DataFrame, cols: list[str], by: float = 100.0) -> DataFrame:
     for c in cols:
         df = df.withColumn(c, F.col(c).cast("double") / by)
@@ -424,10 +439,12 @@ def q_dfs_depth2(spark, sf_dir):
         "MEAN(lineitem.orders.o_totalprice)": "m_lo_tp",
     })
     out = _r4(out, ["m_tp", "s_disc", "m_qty", "m_ext", "m_disc",
-                    "s_o_mqty", "s_o_mext", "s_o_mdisc",
-                    "m_o_sqty", "m_o_sext", "m_o_sdisc",
-                    "m_o_mqty", "m_o_mext", "m_o_mdisc", "m_o_cli",
+                    "m_o_sqty", "m_o_sext", "m_o_sdisc", "m_o_cli",
                     "s_qty", "m_lo_tp"])
+    # sums/means OF DOUBLES: aggregation order varies run to run, so
+    # exact .00005 boundaries need the epsilon-shifted rounding
+    out = _r4e(out, ["s_o_mqty", "s_o_mext", "s_o_mdisc",
+                     "m_o_mqty", "m_o_mext", "m_o_mdisc"])
     return out
 
 
@@ -857,6 +874,11 @@ def _R(e: str) -> str:
     return f"floor(({e})*10000 + 0.5)/10000"
 
 
+def _Re(e: str) -> str:
+    """Epsilon-shifted round4 for order-dependent double sums."""
+    return f"floor(({e})*10000 + 0.5 + 1e-6)/10000"
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "agg_basic": f"""
@@ -1133,15 +1155,15 @@ def oracle_sql() -> dict[str, str]:
                    {_R('cl.m_ext')} AS m_ext,
                    {_R('cl.m_disc')} AS m_disc,
                    COALESCE(cl.c_l, 0) AS c_l,
-                   {_R('COALESCE(co.s_o_mqty, 0)')} AS s_o_mqty,
-                   {_R('COALESCE(co.s_o_mext, 0)')} AS s_o_mext,
-                   {_R('COALESCE(co.s_o_mdisc, 0)')} AS s_o_mdisc,
+                   {_Re('COALESCE(co.s_o_mqty, 0)')} AS s_o_mqty,
+                   {_Re('COALESCE(co.s_o_mext, 0)')} AS s_o_mext,
+                   {_Re('COALESCE(co.s_o_mdisc, 0)')} AS s_o_mdisc,
                    {_R('co.m_o_sqty')} AS m_o_sqty,
                    {_R('co.m_o_sext')} AS m_o_sext,
                    {_R('co.m_o_sdisc')} AS m_o_sdisc,
-                   {_R('co.m_o_mqty')} AS m_o_mqty,
-                   {_R('co.m_o_mext')} AS m_o_mext,
-                   {_R('co.m_o_mdisc')} AS m_o_mdisc,
+                   {_Re('co.m_o_mqty')} AS m_o_mqty,
+                   {_Re('co.m_o_mext')} AS m_o_mext,
+                   {_Re('co.m_o_mdisc')} AS m_o_mdisc,
                    {_R('co.m_o_cli')} AS m_o_cli,
                    COALESCE(cl.s_lo_tp, 0) AS s_lo_tp,
                    {_R('cl.m_lo_tp')} AS m_lo_tp

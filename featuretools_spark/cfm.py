@@ -56,6 +56,7 @@ def calculate_feature_matrix(
     approximate=None,
     strategy: str = "join",
     cutoff_time_in_index: bool = True,
+    salt: int | None = None,
 ) -> DataFrame:
     """Compute the feature matrix.
 
@@ -213,6 +214,7 @@ def calculate_feature_matrix(
             n_observations=nobs,
             strategy=strategy,
             scalar_cutoff=scalar_cutoff if strategy == "join" else None,
+            salt=salt,
         )
         if approx_td is not None and scalar_cutoff is None:
             # remap approx results onto exact cutoffs via the binned key
@@ -781,7 +783,11 @@ def _materialize_features(es, table, df, feats, time_col,
         f for f in feats
         if getattr(getattr(f, "primitive", None), "strategy", "") == "pandas"
     ]
-    expr_feats = [f for f in feats if f not in pandas_feats]
+    # identity-based membership: FeatureBase.__eq__ is overloaded to
+    # BUILD an equality feature, so `f not in pandas_feats` would
+    # misclassify every feature whenever pandas_feats is non-empty
+    _pandas_ids = {id(f) for f in pandas_feats}
+    expr_feats = [f for f in feats if id(f) not in _pandas_ids]
 
     out_cols = []
     new_cols = dict(precomputed)

@@ -224,6 +224,41 @@ def test_sortmerge_matches_join_windows(spark, seq_es, include_cutoff, window):
     _assert_close(a, b)
 
 
+@pytest.mark.parametrize("window", [None, "3 days"])
+def test_salted_sortmerge_matches_join(spark, seq_es, window):
+    """Explicit hot-key salting: events split into salt sub-streams,
+    markers replicate, kernel emits partials, one JVM groupBy merges —
+    results must equal the join strategy for every kernel primitive."""
+    es, seqs = seq_es
+    cuts = make_cutoffs(spark, seqs, per_entity=3)
+    n_tok = IdentityFeature(es, "sequences", "n_tok")
+    did = IdentityFeature(es, "sequences", "doc_id")
+    ts = IdentityFeature(es, "sequences", "event_time")
+    feats = [
+        AggregationFeature(did, "entities", "count", es=es),
+        AggregationFeature(n_tok, "entities", "sum", es=es),
+        AggregationFeature(n_tok, "entities", "mean", es=es),
+        AggregationFeature(n_tok, "entities", "std", es=es),
+        AggregationFeature(n_tok, "entities", "min", es=es),
+        AggregationFeature(n_tok, "entities", "max", es=es),
+        AggregationFeature(n_tok, "entities", "first", es=es),
+        AggregationFeature(n_tok, "entities", "last", es=es),
+        AggregationFeature(n_tok, "entities", "trend", es=es),
+        AggregationFeature(n_tok, "entities", "variance", es=es),
+        AggregationFeature(ts, "entities", "time_since_last", es=es),
+        AggregationFeature(ts, "entities", "time_since_first", es=es),
+        AggregationFeature(ts, "entities", "first_last_time_delta", es=es),
+        AggregationFeature(ts, "entities", "avg_time_between", es=es),
+    ]
+    cols = [f.get_name() for f in feats]
+    kw = dict(cutoff_time=cuts, training_window=window)
+    a = _fm_dict(fts.calculate_feature_matrix(
+        feats, es, strategy="join", **kw), cols)
+    b = _fm_dict(fts.calculate_feature_matrix(
+        feats, es, strategy="sortmerge", salt=4, **kw), cols)
+    _assert_close(a, b)
+
+
 def test_sortmerge_matches_join_n_observations(spark, seq_es):
     """use_previous='N observations' in the kernel is the clamp
     lo = max(lo, hi - n): must equal the join strategy's row_number."""

@@ -83,3 +83,29 @@ def test_ewm_parity_with_pandas(spark):
     for i in want_g.index:
         assert abs(got[i][0] - want_g[i]) < 1e-9, (i, got[i][0], want_g[i])
         assert abs(got[i][1] - want_grp[i]) < 1e-9, (i, got[i][1], want_grp[i])
+
+
+def test_mixed_pandas_and_expr_transforms(spark, es):
+    """A pandas-kernel transform (EWM) and Column-expression transforms
+    (lag) requested TOGETHER must both materialize — guards the
+    identity-based expr/pandas split (FeatureBase.__eq__ builds a
+    feature, so naive list membership misclassifies)."""
+    from featuretools_spark.primitives.transform import (
+        ExponentialWeightedAverage,
+    )
+
+    v = IdentityFeature(es, "events", "value")
+    uid = IdentityFeature(es, "events", "user_id")
+    ewm = GroupByTransformFeature(
+        ExponentialWeightedAverage(com=0.5), [v], groupby=uid
+    )
+    lag = TransformFeature("lag", [v])
+    fm = fts.calculate_feature_matrix(
+        [ewm, lag], es, cutoff_time=dt.datetime(2024, 3, 1)
+    )
+    rows = fm.collect()
+    ewm_col = ewm.get_name()
+    lag_col = lag.get_name()
+    assert ewm_col in fm.columns and lag_col in fm.columns
+    assert sum(r[ewm_col] is not None for r in rows) > 0
+    assert sum(r[lag_col] is not None for r in rows) > 0
