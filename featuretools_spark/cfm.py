@@ -190,9 +190,14 @@ def calculate_feature_matrix(
             in_cols = [next(col_iter) for _ in f.base_features]
             where_col = next(col_iter) if f.where is not None else None
             kinds = getattr(f.primitive, "input_kinds", ("numeric",))
-            if kinds == () :
-                in_cols = []
             sec_time_col = _secondary_mask_col(es, f)
+            if kinds == ():
+                in_cols = []
+            elif (f.primitive.name == "count" and f.where is None
+                    and sec_time_col is None):
+                # unmasked COUNT = row count; dropping the index input
+                # lets Catalyst prune the column from the scan
+                in_cols = []
             specs.append(
                 AggSpec(internal[f.get_name()], f.primitive, in_cols,
                         where_col, sec_time_col)

@@ -278,16 +278,33 @@ class AggregationFeature(FeatureBase):
             deps.append(self.where)
         return deps
 
+    def relationship_path_name(self) -> str:
+        """Child name when the backward path is unique; the hop-name
+        chain ("orders.log") otherwise — reference
+        feature_base.py:835-839 + relationship.py:146-152, so diamond
+        paths yield distinct feature names instead of colliding."""
+        child = self.child_entity
+        if self.es is not None:
+            try:
+                unique = len(
+                    self.es.find_backward_paths(self.entity, child)
+                ) <= 1
+            except Exception:
+                unique = True
+            if not unique:
+                return ".".join(r.child_name for r in self.relationship_path)
+        return child
+
     def get_name(self):
         if self._custom_name:
             return self._custom_name
         prim = self.primitive
-        child = self.child_entity
+        child = self.relationship_path_name()
         kinds = getattr(prim, "input_kinds", ("numeric",))
         if kinds == ("index",):
             base = child  # COUNT(orders)
         elif kinds == ():
-            ti = self.es.time_index(child) if self.es else "time"
+            ti = self.es.time_index(self.child_entity) if self.es else "time"
             base = f"{child}.{ti}"  # TIME_SINCE_LAST(orders.ts)
         else:
             base = ", ".join(f"{child}.{f.get_name()}" for f in self.base_features)

@@ -38,7 +38,12 @@ class Count(AggregationPrimitive):
     default_value = 0
 
     def expr(self, inputs, ctx):
-        return F.count(inputs[0])
+        # the index is unique + non-null by EntitySet contract, so an
+        # unmasked COUNT needs no column at all — the engine passes
+        # inputs=[] then, letting Catalyst prune the (often string)
+        # index column out of the scan entirely. WHERE / secondary-TI
+        # masks arrive as when()-wrapped inputs and keep the column.
+        return F.count(inputs[0]) if inputs else F.count(F.lit(1))
 
 
 @agg_primitive

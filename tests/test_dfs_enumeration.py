@@ -144,6 +144,51 @@ def test_groupby_transform_enumeration(es):
     assert "CUM_SUM(value) by user_id" in names
 
 
+def test_diamond_paths_enumerate_distinct_features(spark):
+    """A diamond schema (two backward paths A->D) must yield ONE
+    feature per path, disambiguated by the hop-name chain in the
+    feature name (reference relationship_path_name,
+    feature_base.py:835-839) — and both must compute."""
+    import datetime as dt
+
+    import featuretools_spark as fts
+
+    a = spark.createDataFrame([(1,), (2,)], "a_id int")
+    b = spark.createDataFrame([(10, 1), (11, 2)], "b_id int, a_id int")
+    c = spark.createDataFrame([(20, 1), (21, 2)], "c_id int, a_id int")
+    d = spark.createDataFrame(
+        [(100, 10, 20, 5.0, dt.datetime(2024, 1, 1)),
+         (101, 10, 21, 7.0, dt.datetime(2024, 1, 2)),
+         (102, 11, 20, 9.0, dt.datetime(2024, 1, 3))],
+        "d_id int, b_id int, c_id int, amount double, ts timestamp",
+    )
+    es = fts.EntitySet("diamond")
+    es.add_dataframe("a", a, index="a_id")
+    es.add_dataframe("b", b, index="b_id")
+    es.add_dataframe("c", c, index="c_id")
+    es.add_dataframe("d", d, index="d_id", time_index="ts")
+    es.add_relationship("a", "a_id", "b", "a_id")
+    es.add_relationship("a", "a_id", "c", "a_id")
+    es.add_relationship("b", "b_id", "d", "b_id")
+    es.add_relationship("c", "c_id", "d", "c_id")
+    feats = build_features(es, "a", agg_primitives=["sum", "count"],
+                           trans_primitives=[], max_depth=2)
+    names = {f.get_name() for f in feats}
+    assert "SUM(b.d.amount)" in names
+    assert "SUM(c.d.amount)" in names
+    assert "COUNT(b.d)" in names and "COUNT(c.d)" in names
+    # both paths compute to the correct per-path values
+    per_path = [f for f in feats
+                if f.get_name() in ("SUM(b.d.amount)", "SUM(c.d.amount)")]
+    fm = fts.calculate_feature_matrix(per_path, es,
+                                      cutoff_time=dt.datetime(2024, 6, 1))
+    rows = {r["a_id"]: r for r in fm.collect()}
+    assert rows[1]["SUM(b.d.amount)"] == 12.0  # d100+d101 via b10
+    assert rows[1]["SUM(c.d.amount)"] == 14.0  # d100+d102 via c20
+    assert rows[2]["SUM(b.d.amount)"] == 9.0
+    assert rows[2]["SUM(c.d.amount)"] == 7.0
+
+
 def test_typed_string_columns_gate_enumeration(spark):
     """Woodwork-style logical types (URL, EmailAddress, PostalCode,
     PersonFullName, Filepath — reference entityset.py:610-632) gate
