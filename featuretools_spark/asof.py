@@ -99,6 +99,8 @@ def asof_aggregate(
     strategy: str = "join",
     scalar_cutoff=None,
     salt: int | None = None,
+    aux=None,
+    hops=None,
 ) -> DataFrame:
     """Compute per-(instance, cutoff) aggregations of child rows with
     t ~ cutoff semantics. Returns [instance_col, cutoff_col, *outs].
@@ -117,7 +119,7 @@ def asof_aggregate(
     scalar "tuple path", cfm.py:399-432) — strictly cheaper than the
     join-then-aggregate shape needed for per-row cutoffs.
     """
-    if strategy == "sortmerge":
+    if strategy == "sortmerge" and not hops:
         kern, rest = _split_kernel_specs(child, time_col, specs)
         parts = []
         if kern:
@@ -130,7 +132,7 @@ def asof_aggregate(
             parts.append(_asof_join(
                 child, key_col, time_col, cutoffs, instance_col, rest,
                 cutoff_col, include_cutoff_time, training_window,
-                n_observations,
+                n_observations, aux=aux,
             ))
         out = parts[0]
         for p in parts[1:]:
@@ -142,9 +144,12 @@ def asof_aggregate(
             cutoff_col, include_cutoff_time, training_window,
             n_observations, scalar_cutoff,
         )
+    # hop PIT predicates (multi-hop paths at per-row cutoffs) need the
+    # cutoff in the join condition — always the join strategy
     return _asof_join(
         child, key_col, time_col, cutoffs, instance_col, specs,
         cutoff_col, include_cutoff_time, training_window, n_observations,
+        aux=aux, hops=hops,
     )
 
 
@@ -213,7 +218,13 @@ def _asof_scalar(child, key_col, time_col, cutoffs, instance_col, specs,
 # strategy 1: conditional-aggregation join (pure JVM)
 # ----------------------------------------------------------------------
 def _asof_join(child, key_col, time_col, cutoffs, instance_col, specs,
-               cutoff_col, include_cutoff_time, training_window, n_observations):
+               cutoff_col, include_cutoff_time, training_window,
+               n_observations, aux=None, hops=None):
+    def evc(c):
+        """Column ref: child columns live under the __ev alias; the
+        auxiliary per-cutoff frame's columns are top-level."""
+        return F.col(c) if c.startswith("__aux_") else F.col(f"__ev.{c}")
+
     ev = child.alias("__ev")
     cut = cutoffs.select(instance_col, cutoff_col).alias("__cut")
     cond = F.col(f"__ev.{key_col}") == F.col(f"__cut.{instance_col}")
@@ -224,6 +235,27 @@ def _asof_join(child, key_col, time_col, cutoffs, instance_col, specs,
             include_cutoff_time,
             training_window,
         )
+    # intermediate hop tables are PIT-filtered like the reference's
+    # trie descent: a child row whose ANCESTOR on the path postdates
+    # the cutoff is invisible (its hop time columns ride on the
+    # denormalized mapping); an LTI inside the training window keeps
+    # the ancestor current, mirroring _handle_time's lti mask
+    for ti_col, lti_col in (hops or []):
+        hp = _time_predicate(
+            F.col(f"__ev.{ti_col}"), F.col(f"__cut.{cutoff_col}"),
+            include_cutoff_time, None,
+        )
+        if training_window is not None:
+            start = training_window.subtract_from(F.col(f"__cut.{cutoff_col}"))
+            wmask = (F.col(f"__ev.{ti_col}") > start if include_cutoff_time
+                     else F.col(f"__ev.{ti_col}") >= start)
+            if lti_col is not None:
+                lmask = (F.col(f"__ev.{lti_col}") > start
+                         if include_cutoff_time
+                         else F.col(f"__ev.{lti_col}") >= start)
+                wmask = wmask | lmask
+            hp = hp & wmask
+        cond = cond & hp
 
     expr_specs = [s for s in specs if s.primitive.strategy == "expr"]
     two_specs = [s for s in specs if s.primitive.strategy == "twostage"]
@@ -242,6 +274,18 @@ def _asof_join(child, key_col, time_col, cutoffs, instance_col, specs,
         ).orderBy(F.col(f"__ev.{time_col}").desc_nulls_last())
         joined = joined.withColumn("__rn", F.row_number().over(w)).filter(
             (F.col("__rn") <= n_observations) | F.col(f"__ev.{key_col}").isNull()
+        )
+
+    if aux is not None:
+        # stacked (depth>=2) inputs at per-row cutoffs: the inner
+        # matrix is keyed (child instance, cutoff) — attach it AFTER
+        # the cutoff join, where both keys are in scope
+        aux_df, aux_key = aux
+        joined = joined.join(
+            aux_df,
+            (F.col(f"__ev.{aux_key}") == F.col("__aux_k"))
+            & (F.col(f"__cut.{cutoff_col}") == F.col("__aux_t")),
+            "left",
         )
 
     if expr_specs:
@@ -265,7 +309,7 @@ def _asof_join(child, key_col, time_col, cutoffs, instance_col, specs,
                 )
             else:
                 inputs = [
-                    _wrap_where(F.col(f"__ev.{c}"), where) for c in s.input_cols
+                    _wrap_where(evc(c), where) for c in s.input_cols
                 ]
                 local_ctx = ctx if not s.where_col else AggContext(
                     time=_wrap_where(F.col(f"__ev.{time_col}"), where)
@@ -281,6 +325,11 @@ def _asof_join(child, key_col, time_col, cutoffs, instance_col, specs,
         ).agg(*aggs)
 
     for s in two_specs:
+        if any(c.startswith("__aux_") for c in s.input_cols):
+            raise NotImplementedError(
+                f"holistic primitive {s.primitive.name!r} over a stacked "
+                f"(depth>=2) input with per-row cutoffs is unsupported"
+            )
         inner = cut.join(ev, cond, "inner")
         if s.where_col:
             inner = inner.filter(F.col(f"__ev.{s.where_col}"))

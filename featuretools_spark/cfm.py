@@ -167,18 +167,68 @@ def calculate_feature_matrix(
 
     for (path_key, win, nobs), feats in groups.items():
         path = feats[0].relationship_path
-        child_df, key_col, time_col = _child_frame(
+        child_df, key_col, time_col, hops = _child_frame(
             es, path,
             pit=(scalar_cutoff, include_cutoff_time, training_window)
             if scalar_cutoff is not None else None,
         )
         specs = []
-        # materialize every base/where feature of the group in ONE pass
-        # so shared inputs (and recursive stacked sub-matrices) are
-        # computed once per group, not once per feature
+        # per-row cutoffs + stacked aggregation/direct inputs: the
+        # stacked value VARIES PER CUTOFF, so it cannot live on
+        # child_df — compute the inner matrix at propagated
+        # (child_instance, cutoff) pairs and hand it to the as-of
+        # join as an auxiliary frame joined AFTER the cutoff join.
+        aux = None
+        aux_cols: dict = {}
+        if scalar_cutoff is None:
+            stacked = []
+            seen_stk = set()
+            for f in feats:
+                for b in f.base_features:
+                    if (isinstance(b, (AggregationFeature, DirectFeature))
+                            and b.get_name() not in seen_stk):
+                        seen_stk.add(b.get_name())
+                        stacked.append(b)
+            if stacked:
+                child_name = feats[0].child_entity
+                child_idx = es.index(child_name)
+                cmap = (
+                    child_df.select(F.col(child_idx).alias("__cid"),
+                                    F.col(key_col).alias("__ak"))
+                    .join(
+                        agg_keys.select(F.col(index_col).alias("__ak"),
+                                        F.col(CUTOFF_COL)),
+                        on="__ak",
+                    )
+                    .select(F.col("__cid").alias(child_idx), CUTOFF_COL)
+                    .distinct()
+                )
+                sub = calculate_feature_matrix(
+                    stacked, es,
+                    cutoff_time=cmap.select(
+                        F.col(child_idx),
+                        F.col(CUTOFF_COL).alias("time"),
+                    ),
+                    include_cutoff_time=include_cutoff_time,
+                    training_window=training_window,
+                    strategy=strategy,
+                )
+                sel = [F.col(f"`{child_idx}`").alias("__aux_k"),
+                       F.col("time").alias("__aux_t")]
+                for i, sf in enumerate(stacked):
+                    an = f"__aux_f{i}"
+                    sel.append(F.col(f"`{sf.get_name()}`").alias(an))
+                    aux_cols[sf.get_name()] = an
+                aux = (sub.select(*sel), child_idx)
+
+        # materialize every NON-stacked base/where feature of the
+        # group in ONE pass so shared inputs (and recursive stacked
+        # sub-matrices on the scalar path) are computed once per group
         base_list: list = []
         for f in feats:
-            base_list.extend(f.base_features)
+            for b in f.base_features:
+                if b.get_name() not in aux_cols:
+                    base_list.append(b)
             if f.where is not None:
                 base_list.append(f.where)
         child_df, mat_cols = _materialize_features(
@@ -187,7 +237,11 @@ def calculate_feature_matrix(
         )
         col_iter = iter(mat_cols)
         for f in feats:
-            in_cols = [next(col_iter) for _ in f.base_features]
+            in_cols = [
+                aux_cols[b.get_name()]
+                if b.get_name() in aux_cols else next(col_iter)
+                for b in f.base_features
+            ]
             where_col = next(col_iter) if f.where is not None else None
             kinds = getattr(f.primitive, "input_kinds", ("numeric",))
             sec_time_col = _secondary_mask_col(es, f)
@@ -220,6 +274,8 @@ def calculate_feature_matrix(
             strategy=strategy,
             scalar_cutoff=scalar_cutoff if strategy == "join" else None,
             salt=salt,
+            aux=aux,
+            hops=hops,
         )
         if approx_td is not None and scalar_cutoff is None:
             # remap approx results onto exact cutoffs via the binned key
@@ -564,43 +620,71 @@ def _child_frame(es, path, pit=None):
     pit: optional (scalar_cutoff, include_cutoff_time, training_window)
     — intermediate tables are row-filtered to the cutoff like the
     reference's trie descent (a lineitem belonging to a post-cutoff
-    order is invisible at the customer grain). Per-row cutoffs keep
-    the unfiltered mapping: filtering each hop per cutoff would need
-    the cutoff in scope before the join.
+    order is invisible at the customer grain). With PER-ROW cutoffs
+    the hop time indexes are CARRIED as `_ft_hop_ti_{i}` /
+    `_ft_hop_lti_{i}` columns instead (returned as `hops`), and the
+    as-of join applies the same predicate per cutoff row.
+
+    Returns (df, ancestor_key_col, time_col, hops) where hops is a
+    list of (ti_col, lti_col | None) carried column names.
     """
     child_name = path[-1].child_name
     df = es[child_name]
     time_col = es.time_index(child_name)
     if len(path) == 1:
-        return df, path[0].child_col, time_col
+        return df, path[0].child_col, time_col, []
     key_col = "_ft_ancestor_key"
-    # mapping: (index of the next rel's parent table) -> top ancestor key
+    # mapping: (index of the next rel's parent table) -> top ancestor
+    # key (+ carried hop time columns for per-row PIT)
     mapping = None
-    for rel, nxt in zip(path, path[1:]):
+    carried: list = []   # hop column names accumulated on `mapping`
+    hops: list = []      # (ti_col, lti_col | None) pairs
+    for i, (rel, nxt) in enumerate(zip(path, path[1:])):
         tbl = es[rel.child_name]  # the intermediate table
         if pit is not None:
             tbl = _apply_scalar_pit(es, rel.child_name, tbl, pit)
+        extra_exprs, extra_names = [], []
+        if pit is None:
+            ti = es.time_index(rel.child_name)
+            if ti is not None:
+                tname = f"_ft_hop_ti_{i}"
+                extra_exprs.append(F.col(ti).alias(tname))
+                extra_names.append(tname)
+                lname = None
+                if (es.meta[rel.child_name].last_time_index
+                        and LTI_COLUMN_NAME in tbl.columns):
+                    lname = f"_ft_hop_lti_{i}"
+                    extra_exprs.append(F.col(LTI_COLUMN_NAME).alias(lname))
+                    extra_names.append(lname)
+                hops.append((tname, lname))
         if mapping is None:
             mapping = tbl.select(
                 F.col(nxt.parent_col).alias("_ft_link"),
                 F.col(rel.child_col).alias(key_col),
+                *extra_exprs,
             )
         else:
             mapping = (
                 tbl.select(
                     F.col(nxt.parent_col).alias("_ft_link_new"),
                     F.col(rel.child_col).alias("_ft_link"),
+                    *extra_exprs,
                 )
                 .join(mapping, on="_ft_link", how="left")
-                .select(F.col("_ft_link_new").alias("_ft_link"), F.col(key_col))
+                .select(
+                    F.col("_ft_link_new").alias("_ft_link"),
+                    F.col(key_col),
+                    *[F.col(c) for c in carried + extra_names],
+                )
             )
+        carried += extra_names
     last = path[-1]
     df = df.join(
         mapping,
         df[last.child_col] == mapping["_ft_link"],
         "left",
     ).drop("_ft_link")
-    return df, key_col, time_col
+    return df, key_col, time_col, hops
 
 
 def _pit_mask(time_col, cutoff, include_cutoff_time, training_window,
@@ -735,9 +819,10 @@ def _materialize_features(es, table, df, feats, time_col,
         sc = scalar_ctx[0] if scalar_ctx else None
         if sc is None:
             raise NotImplementedError(
-                "stacked aggregation/direct inputs need a scalar "
-                "cutoff_time (or approximate= binning); per-row cutoff "
-                "propagation through depth>=2 features is unsupported"
+                "a TRANSFORM of an aggregation/direct feature used as "
+                "an aggregation input (depth>=3) needs a scalar "
+                "cutoff_time; bare stacked inputs at per-row cutoffs "
+                "are handled by the group loop's auxiliary matrix"
             )
         _, inc, tw, strat = scalar_ctx
         uniq = list({f.get_name(): f for f in special}.values())
