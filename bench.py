@@ -227,15 +227,22 @@ def run_once(sf_dir: str, cpus: int, queries=None) -> dict:
     big.join(small.hint("broadcast"), "k").selectExpr("sum(v)").collect()
     big.mapInPandas(lambda it: it, "id long, k long").selectExpr(
         "count(*)").collect()
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
     secs, rows = {}, {}
     for name in names:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
-        # noop write forces EVERY column to materialize; count() lets
-        # Catalyst prune aggregate expressions the count doesn't need
-        df.write.format("noop").mode("overwrite").save()
+        # noop write forces EVERY column to materialize; the row count
+        # is read off the SAME execution via observe() — a separate
+        # count() would re-run the whole plan (shuffle reuse across
+        # actions is not guaranteed), doubling bench wall-clock
+        obs = Observation(f"rows_{name}")
+        df.observe(obs, F.count(F.lit(1)).alias("n")).write.format(
+            "noop").mode("overwrite").save()
         secs[name] = round(time.time() - t0, 3)
-        rows[name] = df.count()  # post-timing; reuses shuffle outputs
+        rows[name] = obs.get["n"]
     total = round(sum(secs.values()), 3)
     # feature-rows/sec for the flagship as-of backfill: output rows ×
     # feature columns per second (the BASELINE.json metric)

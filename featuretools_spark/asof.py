@@ -307,6 +307,13 @@ def _asof_join(child, key_col, time_col, cutoffs, instance_col, specs,
                     time=_wrap_where(F.col(f"__ev.{time_col}"), where),
                     cutoff=ctx.cutoff,
                 )
+            elif not s.input_cols:
+                # pruned-input primitives (unmasked COUNT): the LEFT
+                # join null-extends cutoffs with zero qualifying rows,
+                # so count a mandatory EVENT-side column — F.count(
+                # F.lit(1)) would count the null-extended row as 1
+                inputs = [_wrap_where(F.col(f"__ev.{key_col}"), where)]
+                local_ctx = ctx
             else:
                 inputs = [
                     _wrap_where(evc(c), where) for c in s.input_cols
@@ -411,8 +418,12 @@ def _split_kernel_specs(child, time_col, specs):
             s.primitive.name in _KERNEL_PRIMS
             and s.primitive.strategy == "expr"
             and s.sec_time_col is None
-            and all(numeric_ok.get(c, False) for c in s.input_cols
-                    if s.primitive.name != "count")
+            # count's value column is irrelevant to the kernel:
+            # _asof_sortmerge strips it (AggSpec rebuild below) and
+            # counts where-mask hits / window rows directly, so a
+            # non-numeric child index on a masked COUNT is fine here
+            and (s.primitive.name == "count"
+                 or all(numeric_ok.get(c, False) for c in s.input_cols))
         )
         (kern if ok else rest).append(s)
     return kern, rest
@@ -656,6 +667,8 @@ def _asof_sortmerge(child, key_col, time_col, cutoffs, instance_col, specs,
         et = evp["__t"].to_numpy()
         ck = pdf["__k"].to_numpy()[pos_cut]
         ct = pdf["__t"].to_numpy()[pos_cut]
+        # time origin for trend's x prefix sums (precision; see prefixes)
+        o_us = int(et[0]) if len(et) else 0
 
         out = {instance_col: ck, "__t_out": ct}
         val_cache = {}
@@ -695,7 +708,12 @@ def _asof_sortmerge(child, key_col, time_col, cutoffs, instance_col, specs,
                 "sum": np.concatenate(([0.0], np.cumsum(vz))),
                 "sumsq": np.concatenate(([0.0], np.cumsum(vz * vz))),
             }
-            tx = np.where(valid, et / 1e6, 0.0)  # epoch seconds
+            # seconds relative to the partition's first event: raw
+            # epoch seconds (~1.7e9) make t2sum cumulate to ~3e18 and
+            # the segment-difference varx loses day-scale precision —
+            # the slope is shift-invariant, so build prefix sums on
+            # shifted x and re-center each window at its cutoff below
+            tx = np.where(valid, (et - o_us) / 1e6, 0.0)
             p["tsum"] = np.concatenate(([0.0], np.cumsum(tx)))
             p["t2sum"] = np.concatenate(([0.0], np.cumsum(tx * tx)))
             if col is not None:
@@ -768,9 +786,22 @@ def _asof_sortmerge(child, key_col, time_col, cutoffs, instance_col, specs,
                         if nm in want:
                             cand[nm] = arr
                 if "sx" in want:
-                    cand["sx"] = p["tsum"][hi] - p["tsum"][lo]
-                    cand["sx2"] = p["t2sum"][hi] - p["t2sum"][lo]
-                    cand["sxy"] = p["tysum"][hi] - p["tysum"][lo]
+                    # prefix sums use the partition origin; partials
+                    # from different salt sub-streams (different
+                    # partitions, different origins) must agree on ONE
+                    # x-origin before the JVM merge sums them — the
+                    # cutoff time is constant per (key, __t_out) group,
+                    # so re-center each window there (exact shifts:
+                    # sx'=sx-n*d, sx2'=sx2-2d*sx+n*d^2, sxy'=sxy-d*sy)
+                    d = (ct - o_us) / 1e6
+                    sxs = p["tsum"][hi] - p["tsum"][lo]
+                    sys_ = p["sum"][hi] - p["sum"][lo]
+                    cand["sx2"] = (
+                        (p["t2sum"][hi] - p["t2sum"][lo])
+                        - 2.0 * d * sxs + n * d * d
+                    )
+                    cand["sxy"] = (p["tysum"][hi] - p["tysum"][lo]) - d * sys_
+                    cand["sx"] = sxs - n * d
                 for pn in want:
                     out[f"{out_name}__{pn}"] = cand[pn]
                 continue
@@ -829,10 +860,17 @@ def _asof_sortmerge(child, key_col, time_col, cutoffs, instance_col, specs,
                 # reference calculate_trend parity: n<=2 -> NaN,
                 # all-equal x -> 0, slope scaled by the unit dividend
                 # of the first valid timestamp (whole days/hours/min)
+                # segment sums are relative to the partition origin;
+                # re-center each window at its cutoff (shift-invariant
+                # slope, keeps varx at window-span scale so the
+                # cancellation guard below is meaningful)
+                d = (ct - o_us) / 1e6
                 sx = p["tsum"][hi] - p["tsum"][lo]
-                sx2 = p["t2sum"][hi] - p["t2sum"][lo]
                 sy = p["sum"][hi] - p["sum"][lo]
-                sxy = p["tysum"][hi] - p["tysum"][lo]
+                sx2 = (p["t2sum"][hi] - p["t2sum"][lo]
+                       - 2.0 * d * sx + n * d * d)
+                sxy = (p["tysum"][hi] - p["tysum"][lo]) - d * sy
+                sx = sx - n * d
                 vidx = p["vidx"]
                 pos_first = np.searchsorted(vidx, lo, side="left")
                 safe = np.minimum(pos_first, max(len(vidx) - 1, 0))

@@ -74,17 +74,19 @@ def minhash_signature(
 
 def lsh_candidate_pairs(
     sig: DataFrame, id_col: str, num_perm: int = 64, bands: int = 16,
-    max_bucket_size: int | None = 2000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH: band the signature, bucket-join, estimate Jaccard
     as the fraction of equal minhash components. Returns
     (id_a, id_b, est_jaccard) with id_a < id_b, deduped across bands.
 
-    max_bucket_size caps degenerate buckets (empty docs, boilerplate):
-    one hot bucket of b rows costs b^2/2 join outputs, so buckets above
-    the cap are dropped before the self-join — those docs are trivially
-    near-identical cliques better handled by exact_duplicates. Pass
-    None to disable."""
+    max_bucket_size (opt-in, default None = exact recall) caps
+    degenerate buckets (empty docs, boilerplate): one hot bucket of b
+    rows costs b^2/2 join outputs, so buckets above the cap are dropped
+    before the self-join — those docs are trivially near-identical
+    cliques better handled by exact_duplicates. At 100-TB scale pass a
+    cap (e.g. 2000); dropped pairs mean recall loss, so it is not the
+    default."""
     rows = num_perm // bands
     banded = sig.select(
         F.col(id_col),
