@@ -266,6 +266,74 @@ def q_per_row_cutoffs(spark, sf_dir):
     return _r4(out, ["sum_v", "max_v"])
 
 
+def q_holistic_wide(spark, sf_dir):
+    """Holistic-heavy per-row-cutoff query: four counts-family and two
+    flag-family primitives. With round-3 batching the whole thing is
+    ONE cutoffs-x-events join for the flag pass plus ONE shared ranked
+    value-counts subplan (pre-batching: one join per primitive)."""
+    from featuretools_spark.primitives import get_aggregation_primitive
+
+    es = _es_events(spark, sf_dir)
+    cuts = (
+        es["users"].select("user_id").crossJoin(
+            spark.createDataFrame(
+                [(dt.datetime(2024, 1, 10),), (dt.datetime(2024, 1, 20),)],
+                "time timestamp",
+            )
+        )
+    )
+    et = IdentityFeature(es, "events", "event_type")
+    v = IdentityFeature(es, "events", "value")
+    nmc = get_aggregation_primitive("n_most_common")
+    nmc.n = 2
+    feats = [
+        AggregationFeature(et, "users", "mode", es=es),
+        AggregationFeature(et, "users", "entropy", es=es),
+        AggregationFeature(et, "users", nmc, es=es),
+        AggregationFeature(v, "users", "count_above_mean", es=es),
+        AggregationFeature(v, "users", "max_count", es=es),
+    ]
+    fm = fts.calculate_feature_matrix(feats, es, cutoff_time=cuts)
+    out = fm.select(
+        F.col("user_id"),
+        F.unix_micros(F.col("time").cast("timestamp")).alias("cutoff_us"),
+        _q("MODE(events.event_type)").alias("mode_et"),
+        _q("ENTROPY(events.event_type)").alias("ent"),
+        F.concat_ws(",", _q("N_MOST_COMMON(events.event_type)")).alias("top2"),
+        _q("COUNT_ABOVE_MEAN(events.value)").alias("cam"),
+        _q("MAX_COUNT(events.value)").alias("mxc"),
+    )
+    return _r4(out, ["ent"])
+
+
+def q_groupby_trans_agg(spark, sf_dir):
+    """Groupby/window transforms OF aggregation outputs (reference
+    feature_set_calculator.py:526-592): CUM_SUM(COUNT(orders)) and
+    CUM_MAX(SUM(orders.o_totalprice)) partitioned by c_nationkey,
+    computed as Window expressions ON the matrix — no extra fact
+    pass."""
+    from featuretools_spark.features import GroupByTransformFeature
+    from featuretools_spark.primitives.transform import CumMax, CumSum
+
+    es = _es_tpch(spark, sf_dir)
+    okey = IdentityFeature(es, "orders", "o_orderkey")
+    price = IdentityFeature(es, "orders", "o_totalprice")
+    cnt = AggregationFeature(okey, "customer", "count", es=es)
+    tot = AggregationFeature(price, "customer", "sum", es=es)
+    nat = IdentityFeature(es, "customer", "c_nationkey")
+    g1 = GroupByTransformFeature(CumSum(), [cnt], groupby=nat)
+    g2 = GroupByTransformFeature(CumMax(), [tot], groupby=nat)
+    fm = fts.calculate_feature_matrix([cnt, tot, g1, g2], es,
+                                      cutoff_time=TPCH_CUTOFF)
+    out = _sel(fm, "c_custkey", {
+        "COUNT(orders)": "cnt",
+        "SUM(orders.o_totalprice)": "sum_p",
+        "CUM_SUM(COUNT(orders)) by c_nationkey": "cum_cnt",
+        "CUM_MAX(SUM(orders.o_totalprice)) by c_nationkey": "cum_max_p",
+    })
+    return _scale(out, ["sum_p", "cum_max_p"])
+
+
 def q_trend(spark, sf_dir):
     """reference calculate_trend semantics: dropna pairs, NaN for
     n<=2, 0 when all x equal, slope scaled by the unit dividend of the
@@ -828,6 +896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "custom_primitive": q_custom_primitive,
         "lsh_topk": q_lsh_topk,
         "fingerprint": q_fingerprint,
+        "holistic_wide": q_holistic_wide,
+        "groupby_trans_agg": q_groupby_trans_agg,
     }
 
 
@@ -1403,5 +1473,80 @@ def oracle_sql() -> dict[str, str]:
             FROM {_U} u
             LEFT JOIN {_EC} e ON e.user_id = u.user_id AND e.ts <= {_EV}
             GROUP BY u.user_id
+        """,
+        "holistic_wide": f"""
+            WITH cu AS (
+                SELECT user_id, ct FROM {_U},
+                (VALUES (TIMESTAMP '2024-01-10'),
+                        (TIMESTAMP '2024-01-20')) c(ct)
+            ),
+            f AS (
+                SELECT cu.user_id, cu.ct, e.event_type, e.value
+                FROM cu LEFT JOIN {_EC} e
+                  ON e.user_id = cu.user_id AND e.ts <= cu.ct
+            ),
+            m AS (
+                SELECT user_id, ct, event_type, count(*) AS c
+                FROM f WHERE event_type IS NOT NULL
+                GROUP BY user_id, ct, event_type
+            ),
+            r AS (
+                SELECT user_id, ct, event_type, c,
+                       row_number() OVER (PARTITION BY user_id, ct
+                                          ORDER BY c DESC, event_type ASC)
+                           AS rn
+                FROM m
+            ),
+            agg AS (
+                SELECT user_id, ct,
+                       max(CASE WHEN rn = 1 THEN event_type END) AS mode_et,
+                       ln(sum(c)) - sum(c * ln(c)) / sum(c) AS h,
+                       string_agg(CASE WHEN rn <= 2 THEN event_type END,
+                                  ',' ORDER BY rn) AS top2
+                FROM r GROUP BY user_id, ct
+            ),
+            fl AS (
+                SELECT user_id, ct,
+                       CAST(count(*) FILTER (WHERE value > vmean) AS DOUBLE)
+                           AS cam,
+                       count(*) FILTER (WHERE value = vmax) AS mxc
+                FROM (
+                    SELECT user_id, ct, value,
+                           avg(value) OVER (PARTITION BY user_id, ct)
+                               AS vmean,
+                           max(value) OVER (PARTITION BY user_id, ct) AS vmax
+                    FROM f WHERE value IS NOT NULL
+                ) GROUP BY user_id, ct
+            )
+            SELECT cu.user_id,
+                   epoch_us(cu.ct) AS cutoff_us,
+                   agg.mode_et AS mode_et,
+                   {_R('agg.h')} AS ent,
+                   coalesce(agg.top2, '') AS top2,
+                   coalesce(fl.cam, 0.0) AS cam,
+                   coalesce(fl.mxc, 0) AS mxc
+            FROM cu
+            LEFT JOIN agg ON agg.user_id = cu.user_id AND agg.ct = cu.ct
+            LEFT JOIN fl ON fl.user_id = cu.user_id AND fl.ct = cu.ct
+        """,
+        "groupby_trans_agg": f"""
+            WITH a AS (
+                SELECT c.c_custkey, c.c_nationkey,
+                       count(o.o_orderkey) AS cnt,
+                       coalesce(sum(CAST(floor(o.o_totalprice*100 + 0.5)
+                                         AS BIGINT)), 0) AS sp
+                FROM customer c
+                LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                                  AND o.o_orderdate <= {_TP}
+                GROUP BY c.c_custkey, c.c_nationkey
+            )
+            SELECT c_custkey,
+                   cnt,
+                   sp / 100.0 AS sum_p,
+                   sum(cnt) OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_custkey) AS cum_cnt,
+                   max(sp) OVER (PARTITION BY c_nationkey
+                                 ORDER BY c_custkey) / 100.0 AS cum_max_p
+            FROM a
         """,
     }

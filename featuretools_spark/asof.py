@@ -172,9 +172,42 @@ def _asof_scalar(child, key_col, time_col, cutoffs, instance_col, specs,
         )
     expr_specs = [s for s in specs if s.primitive.strategy == "expr"]
     two_specs = [s for s in specs if s.primitive.strategy == "twostage"]
+    flag_specs, counts_specs, complex_specs = [], [], []
+    for s in two_specs:
+        fam = s.primitive.batch_family
+        masked = s.where_col or s.sec_time_col
+        if fam == "counts":
+            counts_specs.append(s)
+        elif fam == "flag" and not (s.primitive.flag_ordered and masked):
+            flag_specs.append(s)
+        else:
+            complex_specs.append(s)
+
+    def scalar_mask(s):
+        m = F.col(s.where_col) if s.where_col else None
+        if s.sec_time_col:
+            sm = F.col(s.sec_time_col) < cut_lit
+            m = sm if m is None else (m & sm)
+        return m
+
     out = cutoffs.select(instance_col, cutoff_col)
-    if expr_specs:
+    if expr_specs or flag_specs:
         aggs = []
+        if flag_specs:
+            wk = W.partitionBy(key_col)
+            wo = wk.orderBy(
+                F.col(time_col).asc_nulls_last() if time_col
+                else F.monotonically_increasing_id()
+            )
+            fctx = AggContext(
+                time=F.col(time_col) if time_col else None, cutoff=cut_lit)
+            for i, s in enumerate(flag_specs):
+                v = _wrap_where(F.col(s.input_cols[0]), scalar_mask(s))
+                cols, agg = s.primitive.flag_parts(
+                    v, s.out_name, fctx, wk, wo, f"s{i}")
+                for cname, cexpr in cols.items():
+                    ev = ev.withColumn(cname, cexpr)
+                aggs.append(agg.alias(s.out_name))
         for s in expr_specs:
             where = F.col(s.where_col) if s.where_col else None
             if s.sec_time_col:
@@ -195,7 +228,33 @@ def _asof_scalar(child, key_col, time_col, cutoffs, instance_col, specs,
             aggs.append(s.primitive.expr(inputs, local_ctx).alias(s.out_name))
         agged = ev.groupBy(F.col(key_col).alias(instance_col)).agg(*aggs)
         out = out.join(agged, on=instance_col, how="left")
-    for s in two_specs:
+    if counts_specs:
+        # shared ranked value-counts subplan per (input, mask) group
+        groups: dict = {}
+        for s in counts_specs:
+            groups.setdefault(
+                (s.input_cols[0], s.where_col, s.sec_time_col), []
+            ).append(s)
+        for gkey in sorted(groups, key=str):
+            gspecs = groups[gkey]
+            vals = _wrap_where(F.col(gkey[0]), scalar_mask(gspecs[0]))
+            counts = (
+                ev.select(F.col(key_col).alias(instance_col),
+                          vals.alias("_vcv"))
+                .filter(F.col("_vcv").isNotNull())
+                .groupBy(instance_col, "_vcv")
+                .agg(F.count(F.lit(1)).alias("_cnt"))
+            )
+            wrk = W.partitionBy(instance_col).orderBy(
+                F.desc("_cnt"), F.asc("_vcv"))
+            part = (
+                counts.withColumn("_rn", F.row_number().over(wrk))
+                .groupBy(instance_col)
+                .agg(*[s.primitive.counts_agg("_vcv", s.out_name)
+                       for s in gspecs])
+            )
+            out = out.join(part, on=instance_col, how="left")
+    for s in complex_specs:
         sub = ev
         if s.where_col:
             sub = sub.filter(F.col(s.where_col))
@@ -259,13 +318,41 @@ def _asof_join(child, key_col, time_col, cutoffs, instance_col, specs,
 
     expr_specs = [s for s in specs if s.primitive.strategy == "expr"]
     two_specs = [s for s in specs if s.primitive.strategy == "twostage"]
+    # holistic batching: "flag" primitives merge into the main groupBy
+    # (zero extra joins); "counts" primitives share one per-(key,value)
+    # counts subplan per distinct (input, mask); the rest run per-spec
+    # but off the SHARED cutoff-join frame — never k separate
+    # cutoffs x events joins (one fact scan/shuffle per holistic)
+    flag_specs, counts_specs, complex_specs = [], [], []
+    for s in two_specs:
+        fam = s.primitive.batch_family
+        masked = s.where_col or s.sec_time_col
+        if fam == "counts":
+            counts_specs.append(s)
+        elif fam == "flag" and not (s.primitive.flag_ordered and masked):
+            # an ordered flag's lag/lead adjacency changes when a mask
+            # removes rows, so masked ordered flags take the row-filter
+            # path below
+            flag_specs.append(s)
+        else:
+            complex_specs.append(s)
 
     keys = [instance_col, cutoff_col]
     out = cut.select(
         F.col(f"__cut.{instance_col}").alias(instance_col),
         F.col(f"__cut.{cutoff_col}").alias(cutoff_col),
-    ) if not expr_specs else None
+    ) if not (expr_specs or flag_specs) else None
     joined = cut.join(ev, cond, "left")
+
+    def spec_mask(s):
+        m = F.col(f"__ev.{s.where_col}") if s.where_col else None
+        if s.sec_time_col:
+            # secondary-time-index mask (reference
+            # entityset.py:1450-1455): values are NULL until their
+            # governing time has passed
+            sm = F.col(f"__ev.{s.sec_time_col}") < F.col(f"__cut.{cutoff_col}")
+            m = sm if m is None else (m & sm)
+        return m
 
     if n_observations is not None:
         # use_previous in observations: last-n child rows per cutoff
@@ -288,12 +375,31 @@ def _asof_join(child, key_col, time_col, cutoffs, instance_col, specs,
             "left",
         )
 
-    if expr_specs:
+    if expr_specs or flag_specs:
         ctx = AggContext(
             time=F.col(f"__ev.{time_col}") if time_col else None,
             cutoff=F.col(f"__cut.{cutoff_col}"),
         )
         aggs = []
+        if flag_specs:
+            wk = W.partitionBy(
+                F.col(f"__cut.{instance_col}"), F.col(f"__cut.{cutoff_col}")
+            )
+            wo = wk.orderBy(
+                F.col(f"__ev.{time_col}").asc_nulls_last()
+                if time_col else F.monotonically_increasing_id()
+            )
+            # null value on the LEFT join's null-extended row (or under
+            # a mask) drops out of every flag aggregate; the count
+            # guard reproduces "no event rows -> NULL -> fill default"
+            guard = F.count(F.col(f"__ev.{key_col}")) > 0
+            for i, s in enumerate(flag_specs):
+                v = _wrap_where(evc(s.input_cols[0]), spec_mask(s))
+                cols, agg = s.primitive.flag_parts(
+                    v, s.out_name, ctx, wk, wo, f"j{i}")
+                for cname, cexpr in cols.items():
+                    joined = joined.withColumn(cname, cexpr)
+                aggs.append(F.when(guard, agg).alias(s.out_name))
         for s in expr_specs:
             where = F.col(f"__ev.{s.where_col}") if s.where_col else None
             if s.sec_time_col:
@@ -331,25 +437,47 @@ def _asof_join(child, key_col, time_col, cutoffs, instance_col, specs,
             F.col(f"__cut.{cutoff_col}").alias(cutoff_col),
         ).agg(*aggs)
 
-    for s in two_specs:
-        if any(c.startswith("__aux_") for c in s.input_cols):
-            raise NotImplementedError(
-                f"holistic primitive {s.primitive.name!r} over a stacked "
-                f"(depth>=2) input with per-row cutoffs is unsupported"
+    if counts_specs:
+        # ONE per-(key, value) counts subplan per distinct
+        # (input, where, sec-mask): mode / n_most_common / entropy /
+        # n_most_common_frequency all reduce over the same ranked
+        # counts frame — one event-side join and one groupBy serve
+        # every counts primitive in the group
+        groups: dict = {}
+        for s in counts_specs:
+            groups.setdefault(
+                (s.input_cols[0], s.where_col, s.sec_time_col), []
+            ).append(s)
+        for gkey in sorted(groups, key=str):
+            gspecs = groups[gkey]
+            vals = _wrap_where(evc(gkey[0]), spec_mask(gspecs[0]))
+            counts = (
+                joined.select(
+                    F.col(f"__cut.{instance_col}").alias(instance_col),
+                    F.col(f"__cut.{cutoff_col}").alias(cutoff_col),
+                    vals.alias("_vcv"),
+                )
+                .filter(F.col("_vcv").isNotNull())
+                .groupBy(instance_col, cutoff_col, "_vcv")
+                .agg(F.count(F.lit(1)).alias("_cnt"))
             )
-        inner = cut.join(ev, cond, "inner")
+            wrk = W.partitionBy(instance_col, cutoff_col).orderBy(
+                F.desc("_cnt"), F.asc("_vcv"))
+            part = (
+                counts.withColumn("_rn", F.row_number().over(wrk))
+                .groupBy(instance_col, cutoff_col)
+                .agg(*[s.primitive.counts_agg("_vcv", s.out_name)
+                       for s in gspecs])
+            )
+            out = out.join(part, on=keys, how="left")
+
+    for s in complex_specs:
+        # multi-stage holistics (consecutive runs, since-last) off the
+        # SHARED joined frame — n_observations clamp inherited from it
+        # (last-N per reference is applied BEFORE the where filter)
+        inner = joined.filter(F.col(f"__ev.{key_col}").isNotNull())
         if s.where_col:
             inner = inner.filter(F.col(f"__ev.{s.where_col}"))
-        if n_observations is not None:
-            # same last-n-rows semantics as the expr path above
-            w2 = W.partitionBy(
-                F.col(f"__cut.{instance_col}"), F.col(f"__cut.{cutoff_col}")
-            ).orderBy(F.col(f"__ev.{time_col}").desc_nulls_last())
-            inner = inner.withColumn("__rn2", F.row_number().over(w2)).filter(
-                F.col("__rn2") <= n_observations
-            )
-        # secondary-time-index mask (reference entityset.py:1450-1455):
-        # values are NULL until their governing time has passed
         sec_mask = (
             F.col(f"__ev.{s.sec_time_col}") < F.col(f"__cut.{cutoff_col}")
             if s.sec_time_col else None
@@ -357,7 +485,7 @@ def _asof_join(child, key_col, time_col, cutoffs, instance_col, specs,
         inner = inner.select(
             F.col(f"__cut.{instance_col}").alias(instance_col),
             F.col(f"__cut.{cutoff_col}").alias(cutoff_col),
-            *[_wrap_where(F.col(f"__ev.{c}"), sec_mask).alias(c)
+            *[_wrap_where(evc(c), sec_mask).alias(c)
               for c in s.input_cols],
             *( [F.col(f"__ev.{time_col}").alias(time_col)]
                if time_col and time_col not in s.input_cols else [] ),

@@ -430,7 +430,13 @@ def calculate_feature_matrix(
                 ),
                 on=index_col, how="left",
             )
-        mctx = TransformContext(cutoff=F.col(CUTOFF_COL), order_cols=[])
+        # window/groupby transforms ON the matrix (reference
+        # feature_set_calculator.py:526-592): the agg inputs are
+        # already per-(instance, cutoff), so an expr window transform
+        # is just Window.partitionBy(groupby).orderBy(cutoff, index)
+        # over the matrix — no extra pass over the fact table
+        morder = [CUTOFF_COL, index_col]
+        mctx = TransformContext(cutoff=F.col(CUTOFF_COL), order_cols=morder)
         done = set(internal) - mt_names
 
         def mcomp(f) -> Column:
@@ -439,19 +445,20 @@ def calculate_feature_matrix(
                 return F.col(internal[n])
             if isinstance(f, IdentityFeature) and f.entity == target:
                 return F.col(f"_ft_mt_{f.column}")
-            if isinstance(f, GroupByTransformFeature):
-                raise NotImplementedError(
-                    "groupby transforms of aggregation outputs are not "
-                    "supported"
-                )
             if isinstance(f, TransformFeature):
                 prim = f.primitive
-                if (getattr(prim, "strategy", "expr") == "pandas"
-                        or getattr(prim, "uses_full_dataframe", False)):
+                if getattr(prim, "strategy", "expr") == "pandas":
                     raise NotImplementedError(
-                        "window/pandas transforms of aggregation outputs "
+                        "pandas-kernel transforms of aggregation outputs "
                         "are not supported"
                     )
+                if isinstance(f, GroupByTransformFeature):
+                    local = TransformContext(
+                        cutoff=mctx.cutoff, order_cols=morder,
+                        partition_cols=[mcomp(f.groupby)],
+                    )
+                    return prim.expr(
+                        [mcomp(b) for b in f.base_features], local)
                 return prim.expr([mcomp(b) for b in f.base_features], mctx)
             raise ValueError(f"cannot compile {f!r} on the matrix")
 

@@ -542,6 +542,12 @@ class Mode(AggregationPrimitive):
     input_kinds = ("category",)
     return_kind = "same"
     strategy = "twostage"
+    batch_family = "counts"
+
+    def counts_agg(self, vcol, out_name):
+        # _rn == 1 is unique per key, so max() just picks that value
+        # (type-preserving for any orderable input)
+        return F.max(F.when(F.col("_rn") == 1, F.col(vcol))).alias(out_name)
 
     def twostage(self, df, keys, input_cols, out_name, ctx):
         v = input_cols[0]
@@ -564,9 +570,18 @@ class NMostCommon(AggregationPrimitive):
     input_kinds = ("category",)
     return_kind = "list"
     strategy = "twostage"
+    batch_family = "counts"
 
     def __init__(self, n=3):
         self.n = n
+
+    def counts_agg(self, vcol, out_name):
+        # collect_list skips the nulls the when() leaves for _rn > n
+        pairs = F.array_sort(F.collect_list(
+            F.when(F.col("_rn") <= self.n,
+                   F.struct(F.col("_rn"), F.col(vcol).alias("val")))
+        ))
+        return F.transform(pairs, lambda p: p["val"]).alias(out_name)
 
     def twostage(self, df, keys, input_cols, out_name, ctx):
         v = input_cols[0]
@@ -594,6 +609,13 @@ class Entropy(AggregationPrimitive):
     name = "entropy"
     input_kinds = ("category",)
     strategy = "twostage"
+    batch_family = "counts"
+
+    def counts_agg(self, vcol, out_name):
+        # H = ln n - (1/n) Σ c ln c  (scipy.stats.entropy on counts)
+        n = F.sum("_cnt").cast("double")
+        clogc = F.sum(F.col("_cnt") * F.log(F.col("_cnt").cast("double")))
+        return (F.log(n) - clogc / n).alias(out_name)
 
     def twostage(self, df, keys, input_cols, out_name, ctx):
         v = input_cols[0]
@@ -621,6 +643,14 @@ class _CountVsGroupStat(AggregationPrimitive):
     default_value = 0
     _cmp = None  # "above" | "below"
     _stat = "mean"
+    batch_family = "flag"
+
+    def flag_parts(self, v, out_name, ctx, wk, wo, uid):
+        v = v.cast("double")
+        stat = F.avg(v).over(wk)
+        flag = (v > stat) if self._cmp == "above" else (v < stat)
+        c = f"_bf_{uid}"
+        return {c: flag}, F.count(F.when(F.col(c), 1)).cast("double")
 
     def twostage(self, df, keys, input_cols, out_name, ctx):
         v = F.col(input_cols[0]).cast("double")
@@ -650,6 +680,17 @@ class _ExtremumCount(AggregationPrimitive):
     strategy = "twostage"
     default_value = 0
     _which = "max"
+    batch_family = "flag"
+
+    def flag_parts(self, v, out_name, ctx, wk, wo, uid):
+        if self._which == "max":
+            target = F.max(v).over(wk)
+        elif self._which == "min":
+            target = F.min(v).over(wk)
+        else:
+            target = F.median(v).over(wk)
+        c = f"_bf_{uid}"
+        return {c: v == target}, F.count(F.when(F.col(c), 1))
 
     def twostage(self, df, keys, input_cols, out_name, ctx):
         v = F.col(input_cols[0])
@@ -690,9 +731,17 @@ class CountInsideNthSTD(AggregationPrimitive):
     name = "count_inside_nth_std"
     strategy = "twostage"
     default_value = 0
+    batch_family = "flag"
 
     def __init__(self, n=1):
         self.n = n
+
+    def flag_parts(self, v, out_name, ctx, wk, wo, uid):
+        v = v.cast("double")
+        mu, sd = F.avg(v).over(wk), F.stddev_pop(v).over(wk)
+        c = f"_bf_{uid}"
+        inside = F.abs(v - mu) <= F.lit(float(self.n)) * sd
+        return {c: inside}, F.count(F.when(F.col(c), 1))
 
     def twostage(self, df, keys, input_cols, out_name, ctx):
         v = F.col(input_cols[0]).cast("double")
@@ -711,9 +760,17 @@ class CountOutsideNthSTD(AggregationPrimitive):
     name = "count_outside_nth_std"
     strategy = "twostage"
     default_value = 0
+    batch_family = "flag"
 
     def __init__(self, n=1):
         self.n = n
+
+    def flag_parts(self, v, out_name, ctx, wk, wo, uid):
+        v = v.cast("double")
+        mu, sd = F.avg(v).over(wk), F.stddev_pop(v).over(wk)
+        c = f"_bf_{uid}"
+        outside = F.abs(v - mu) > F.lit(float(self.n)) * sd
+        return {c: outside}, F.count(F.when(F.col(c), 1))
 
     def twostage(self, df, keys, input_cols, out_name, ctx):
         v = F.col(input_cols[0]).cast("double")
@@ -751,6 +808,14 @@ def ctx_order(ctx):
 class IsMonotonicallyIncreasing(_OrderedTwoStage):
     name = "is_monotonically_increasing"
     return_kind = "boolean"
+    batch_family = "flag"
+    flag_ordered = True
+
+    def flag_parts(self, v, out_name, ctx, wk, wo, uid):
+        v = v.cast("double")
+        c = f"_bf_{uid}"
+        return {c: v - F.lag(v).over(wo)}, F.coalesce(
+            F.min(F.col(c) >= 0), F.lit(True))
 
     def twostage(self, df, keys, input_cols, out_name, ctx):
         v = F.col(input_cols[0]).cast("double")
@@ -767,6 +832,14 @@ class IsMonotonicallyIncreasing(_OrderedTwoStage):
 class IsMonotonicallyDecreasing(_OrderedTwoStage):
     name = "is_monotonically_decreasing"
     return_kind = "boolean"
+    batch_family = "flag"
+    flag_ordered = True
+
+    def flag_parts(self, v, out_name, ctx, wk, wo, uid):
+        v = v.cast("double")
+        c = f"_bf_{uid}"
+        return {c: v - F.lag(v).over(wo)}, F.coalesce(
+            F.min(F.col(c) <= 0), F.lit(True))
 
     def twostage(self, df, keys, input_cols, out_name, ctx):
         v = F.col(input_cols[0]).cast("double")
@@ -845,6 +918,14 @@ class MaxConsecutiveZeros(_MaxConsecutive):
 class NumPeaks(_OrderedTwoStage):
     name = "num_peaks"
     default_value = 0
+    batch_family = "flag"
+    flag_ordered = True
+
+    def flag_parts(self, v, out_name, ctx, wk, wo, uid):
+        v = v.cast("double")
+        prev, nxt = F.lag(v).over(wo), F.lead(v).over(wo)
+        c = f"_bf_{uid}"
+        return {c: (v > prev) & (v > nxt)}, F.count(F.when(F.col(c), 1))
 
     def twostage(self, df, keys, input_cols, out_name, ctx):
         v = F.col(input_cols[0]).cast("double")
@@ -862,6 +943,15 @@ class NumPeaks(_OrderedTwoStage):
 class NumZeroCrossings(_OrderedTwoStage):
     name = "num_zero_crossings"
     default_value = 0
+    batch_family = "flag"
+    flag_ordered = True
+
+    def flag_parts(self, v, out_name, ctx, wk, wo, uid):
+        sign = F.signum(v.cast("double"))
+        prev = F.lag(sign).over(wo)
+        c = f"_bf_{uid}"
+        crossing = sign.isNotNull() & prev.isNotNull() & (sign * prev < 0)
+        return {c: crossing}, F.count(F.when(F.col(c), 1))
 
     def twostage(self, df, keys, input_cols, out_name, ctx):
         v = F.col(input_cols[0]).cast("double")
@@ -922,9 +1012,17 @@ class NMostCommonFrequency(AggregationPrimitive):
     input_kinds = ("category",)
     return_kind = "list"
     strategy = "twostage"
+    batch_family = "counts"
 
     def __init__(self, n=3):
         self.n = n
+
+    def counts_agg(self, vcol, out_name):
+        pairs = F.array_sort(F.collect_list(
+            F.when(F.col("_rn") <= self.n,
+                   F.struct(F.col("_rn"), F.col("_cnt").alias("c")))
+        ))
+        return F.transform(pairs, lambda p: p["c"]).alias(out_name)
 
     def twostage(self, df, keys, input_cols, out_name, ctx):
         v = input_cols[0]

@@ -77,6 +77,41 @@ class AggregationPrimitive:
         per key tuple present in df."""
         raise NotImplementedError
 
+    # -- batched twostage protocol (optional) ------------------------
+    # batch_family lets the as-of engine compute MANY holistic
+    # primitives in ONE pass over the cutoffs x events frame instead of
+    # one join per primitive (each twostage() call is its own fact
+    # scan + shuffle otherwise):
+    #   "counts": computable from a shared per-(key, value) counts
+    #     frame ranked by (freq desc, value asc) — implement
+    #     counts_agg(). One groupBy serves every counts primitive on
+    #     the same input column.
+    #   "flag":   one window column + one aggregate — implement
+    #     flag_parts(). All flag primitives merge into the engine's
+    #     main groupBy (zero extra joins). flag_ordered marks
+    #     primitives whose window is time-ordered: those are only
+    #     batchable when no where/secondary mask removes rows (a
+    #     null-masked value changes lag/lead adjacency).
+    #   None:     fall back to per-spec twostage().
+    batch_family: str | None = None
+    flag_ordered: bool = False
+
+    def counts_agg(self, vcol: str, out_name: str) -> Column:
+        """Aggregate expression over the ranked value-counts frame
+        (columns: keys..., `vcol`, _cnt, _rn with _rn = row_number
+        ordered by (_cnt desc, value asc))."""
+        raise NotImplementedError
+
+    def flag_parts(self, v: Column, out_name: str, ctx: AggContext,
+                   wk, wo, uid: str):
+        """Return (cols, agg): `cols` maps intermediate column names to
+        window expressions to attach before the engine's groupBy, `agg`
+        is the final aggregate expression (UNaliased — the engine
+        aliases and, on the join path, guards it for empty windows).
+        wk is Window.partitionBy(keys); wo additionally time-orders.
+        uid makes intermediate column names unique per spec."""
+        raise NotImplementedError
+
     def display_name(self) -> str:
         return self.name.upper()
 

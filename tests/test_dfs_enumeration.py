@@ -288,3 +288,42 @@ def test_groupby_transform_executes(spark, es):
                                       cutoff_time=dt.datetime(2024, 3, 1))
     rows = fm.limit(5).collect()
     assert rows and gb[0].get_name() in fm.columns
+
+
+def test_groupby_transform_of_agg_output(spark, es):
+    """VERDICT r2 #3: groupby (and window) transforms OF aggregation
+    outputs compile as Window.partitionBy(group).orderBy(cutoff, index)
+    expressions ON the matrix (reference feature_set_calculator.py:
+    526-592). Ground truth: per-nation running cumsum of the count
+    column recomputed driver-side."""
+    import collections
+    import datetime as dt
+
+    import featuretools_spark as fts
+    from featuretools_spark.features import (
+        AggregationFeature, GroupByTransformFeature, IdentityFeature,
+    )
+    from featuretools_spark.primitives.transform import CumSum
+
+    cnt = AggregationFeature(
+        IdentityFeature(es, "orders", "o_orderkey"), "customer", "count",
+        es=es)
+    nat = IdentityFeature(es, "customer", "c_nationkey")
+    gbt = GroupByTransformFeature(CumSum(), [cnt], groupby=nat)
+    fm = fts.calculate_feature_matrix(
+        [cnt, gbt], es, cutoff_time=dt.datetime(1996, 6, 1))
+    rows = fm.collect()
+    assert len(rows) == es["customer"].count()
+    nk = {r["c_custkey"]: r["c_nationkey"]
+          for r in es["customer"].select("c_custkey", "c_nationkey").collect()}
+    cname, gname = cnt.get_name(), gbt.get_name()
+    by_nat = collections.defaultdict(list)
+    for r in rows:
+        by_nat[nk[r["c_custkey"]]].append(
+            (r["time"], r["c_custkey"], r[cname], r[gname]))
+    for lst in by_nat.values():
+        lst.sort()
+        run = 0
+        for _, ck, v, g in lst:
+            run += (v or 0)
+            assert g == run, (ck, v, g, run)
