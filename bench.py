@@ -39,6 +39,9 @@ HEADLINE = [
     "backfill_skew",     # flagship input with one hot entity (~10% of rows)
     "backfill_skew_sm",  # hot-key input through the unsalted kernel
     "backfill_skew_sm_salted",  # ... with explicit salting (salt=8)
+    "holistic_wide",     # 6 holistic prims at per-row cutoffs, batched
+                         # (r3: one flag-pass join + one shared counts
+                         # subplan instead of one join per primitive)
 ]
 
 # north-rule backfill workload: synthetic pre-tokenized sequences

@@ -516,7 +516,10 @@ _KERNEL_PRIMS = {
     "count", "sum", "mean", "min", "max", "std", "variance",
     "first", "last", "time_since_last", "time_since_first",
     "avg_time_between", "first_last_time_delta", "trend",
+    "num_true", "percent_true", "any", "all",
 }
+# kernel outputs are double except the boolean reducers
+_KERNEL_BOOL = {"any", "all"}
 _NUMERIC_TYPES = (
     "byte", "short", "integer", "long", "float", "double", "decimal",
     "boolean",
@@ -546,6 +549,10 @@ def _split_kernel_specs(child, time_col, specs):
             s.primitive.name in _KERNEL_PRIMS
             and s.primitive.strategy == "expr"
             and s.sec_time_col is None
+            # percent_true's denominator is EVERY window row (nulls
+            # count as False); under a where mask it must count only
+            # mask-selected rows — join path handles that
+            and not (s.primitive.name == "percent_true" and s.where_col)
             # count's value column is irrelevant to the kernel:
             # _asof_sortmerge strips it (AggSpec rebuild below) and
             # counts where-mask hits / window rows directly, so a
@@ -574,6 +581,10 @@ _SALT_PARTIALS = {
     "first_last_time_delta": ["n", "ft", "lt"],
     "avg_time_between": ["n", "ft", "lt"],
     "trend": ["n", "s", "ft", "sx", "sx2", "sxy"],
+    "num_true": ["n", "s"],
+    "percent_true": ["n", "s", "na"],   # na = window rows incl. nulls
+    "any": ["n", "mx"],
+    "all": ["n", "mn"],
 }
 
 
@@ -601,6 +612,16 @@ def _salt_merge_exprs(spec_rows):
             e = F.min(c("mn"))
         elif pname == "max":
             e = F.max(c("mx"))
+        elif pname == "num_true":
+            e = F.when(N > 0, F.sum(c("s")))
+        elif pname == "percent_true":
+            # reference fillna(False): nulls count in the denominator
+            NA = F.sum(c("na"))
+            e = F.when(NA > 0, F.sum(c("s")) / NA)
+        elif pname == "any":
+            e = F.max(c("mx")) > 0
+        elif pname == "all":
+            e = F.min(c("mn")) > 0
         elif pname == "first":
             e = F.min_by(c("fv"), c("ft"))
         elif pname == "last":
@@ -635,7 +656,8 @@ def _salt_merge_exprs(spec_rows):
             )
         else:  # pragma: no cover — gated by _SALT_PARTIALS lookup
             raise ValueError(pname)
-        exprs.append(e.cast("double").alias(out_name))
+        out_type = "boolean" if pname in _KERNEL_BOOL else "double"
+        exprs.append(e.cast(out_type).alias(out_name))
     return exprs
 
 
@@ -764,7 +786,8 @@ def _asof_sortmerge(child, key_col, time_col, cutoffs, instance_col, specs,
                 out_fields += f", `{s.out_name}__{p}` double"
     else:
         for s in specs:
-            out_fields += f", `{s.out_name}` double"
+            t = "boolean" if s.primitive.name in _KERNEL_BOOL else "double"
+            out_fields += f", `{s.out_name}` {t}"
     nobs = n_observations
 
     def merge_partition(batches):
@@ -884,6 +907,8 @@ def _asof_sortmerge(child, key_col, time_col, cutoffs, instance_col, specs,
                     cand["s"] = p["sum"][hi] - p["sum"][lo]
                 if "ss" in want:
                     cand["ss"] = p["sumsq"][hi] - p["sumsq"][lo]
+                if "na" in want:   # percent_true: window rows incl. nulls
+                    cand["na"] = (hi - lo).astype(np.float64)
                 if "mn" in want or "mx" in want:
                     vv = np.where(p["valid"], v, np.nan)
                     red = pair_reduce(
@@ -939,8 +964,25 @@ def _asof_sortmerge(child, key_col, time_col, cutoffs, instance_col, specs,
             res = np.full(nC, np.nan)
             if pname == "count":
                 res = n.astype(np.float64)
-            elif pname == "sum":
+            elif pname in ("sum", "num_true"):
                 res[has] = (p["sum"][hi] - p["sum"][lo])[has]
+            elif pname == "percent_true":
+                # reference fillna(False): nulls count in the
+                # denominator (every window row), numerator = valid 1s
+                n_all = (hi - lo).astype(np.float64)
+                ok_pt = n_all > 0
+                with np.errstate(invalid="ignore"):
+                    res[ok_pt] = ((p["sum"][hi] - p["sum"][lo]) / n_all)[ok_pt]
+            elif pname in ("any", "all"):
+                vv = np.where(p["valid"], v, np.nan)
+                red = pair_reduce(np.fmax if pname == "any" else np.fmin,
+                                  vv, lo, hi)
+                res_b = np.empty(nC, dtype=object)
+                res_b[:] = None
+                okb = has & ~np.isnan(red)
+                res_b[okb] = (red[okb] > 0)
+                out[out_name] = res_b
+                continue
             elif pname == "mean":
                 with np.errstate(invalid="ignore"):
                     res[has] = ((p["sum"][hi] - p["sum"][lo]) / n)[has]

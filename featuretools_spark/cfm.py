@@ -46,7 +46,153 @@ from featuretools_spark.primitives.base import TransformContext
 from featuretools_spark.timedelta import Timedelta
 
 
-def calculate_feature_matrix(
+# ----------------------------------------------------------------------
+# shared-scan cache: one cfm call (including its recursive stacked
+# sub-matrices) can consume the same fact table many times — deep-path
+# groups, stacked inner matrices, direct-feature parents, where bases.
+# Each consumer would otherwise be its own parquet scan + hop join in
+# the physical plan (Catalyst dedupes exchanges, not scans). The cache
+# hands every consumer the SAME column-pruned logical frame and, on the
+# second request, persists it (MEMORY_AND_DISK): Spark's CacheManager
+# substitutes the matching plan fragment with InMemoryRelation for
+# every branch planned afterwards — including the first consumer's,
+# since the final matrix is planned lazily at action time. Frames stay
+# cached until the NEXT top-level cfm call (results are normally
+# materialized in between); clear_scan_cache() releases them eagerly.
+# ----------------------------------------------------------------------
+_SCAN_CACHE: dict = {}
+_SCAN_PERSISTED: list = []
+_SCAN_COLS: dict = {}
+_CFM_DEPTH = 0
+
+
+def clear_scan_cache():
+    """Unpersist frames cached by the previous calculate_feature_matrix
+    call and reset the shared-scan cache."""
+    for df in _SCAN_PERSISTED:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _SCAN_PERSISTED.clear()
+    _SCAN_CACHE.clear()
+    _SCAN_COLS.clear()
+
+
+def _cached_frame(key, builder, persistable=True) -> DataFrame:
+    ent = _SCAN_CACHE.get(key)
+    if ent is None:
+        _SCAN_CACHE[key] = ent = [builder(), 0, persistable]
+    ent[1] += 1
+    if ent[2] and ent[1] == 2:
+        from pyspark import StorageLevel
+
+        ent[0] = ent[0].persist(StorageLevel.MEMORY_AND_DISK)
+        _SCAN_PERSISTED.append(ent[0])
+    return ent[0]
+
+
+def _scan_base(es, name: str) -> DataFrame:
+    """Column-pruned base frame for a table (pruning keeps the
+    persisted cache as narrow as the parquet ReadSchema would be)."""
+    df = es[name]
+    cols = _SCAN_COLS.get(name)
+    if cols:
+        keep = [c for c in df.columns if c in cols]
+        if len(keep) < len(df.columns):
+            df = df.select(*keep)
+    return df
+
+
+def _pit_child(es, name: str, time_col, pit) -> DataFrame:
+    """Deepest-child fact frame, PIT-pre-filtered at a scalar cutoff so
+    the persisted cache holds only pre-cutoff history (the as-of layer
+    re-applies the full predicate incl. training window). Per-row
+    cutoffs cannot pre-filter — those frames are shared but never
+    persisted (unbounded width at scale)."""
+    if pit is None or time_col is None:
+        return _cached_frame(
+            (id(es), name, "base"),
+            lambda: _scan_base(es, name),
+            persistable=(pit is not None),
+        )
+    sc, inc, _tw = pit
+    cut = F.lit(sc).cast("timestamp")
+    pred = (F.col(time_col) <= cut) if inc else (F.col(time_col) < cut)
+    return _cached_frame(
+        (id(es), name, "pit", str(sc), inc),
+        lambda: _scan_base(es, name).filter(pred),
+    )
+
+
+def _tgt(es, target: str) -> DataFrame:
+    """Shared pruned target-table frame (key/time/ident projections all
+    read one cached scan instead of one parquet scan per site)."""
+    return _cached_frame(
+        (id(es), target, "dim"), lambda: _scan_base(es, target))
+
+
+def _needed_columns(es, feats) -> dict:
+    """table -> set of columns any consumer of this cfm call (incl.
+    recursive stacked sub-matrices — their features are in the dep
+    closure) can touch: identity deps, relationship keys, time/LTI/
+    secondary-time columns. Used to prune the cached scan frames so
+    persisting them keeps parquet column pruning."""
+    need: dict = {}
+
+    def add(t, c):
+        if c:
+            need.setdefault(t, set()).add(c)
+
+    seen, stack = set(), list(feats)
+    while stack:
+        f = stack.pop()
+        if id(f) in seen:
+            continue
+        seen.add(id(f))
+        if isinstance(f, IdentityFeature):
+            add(f.entity, f.column)
+        rels = list(getattr(f, "relationship_path", None) or [])
+        r1 = getattr(f, "relationship", None)  # DirectFeature
+        if r1 is not None:
+            rels.append(r1)
+        for r in rels:
+            add(r.parent_name, r.parent_col)
+            add(r.child_name, r.child_col)
+        stack.extend(f.get_dependencies())
+    for t in list(need):
+        add(t, es.index(t))
+        add(t, es.time_index(t))
+        meta = es.meta.get(t)
+        if meta is not None:
+            for sec in (meta.secondary_time_index or {}):
+                add(t, sec)
+            if meta.last_time_index and LTI_COLUMN_NAME in es[t].columns:
+                add(t, LTI_COLUMN_NAME)
+    return need
+
+
+def calculate_feature_matrix(*args, **kwargs) -> DataFrame:
+    """Public entry: manages the shared-scan cache across the call and
+    its recursive stacked sub-calls, then delegates to the engine."""
+    global _CFM_DEPTH
+    if _CFM_DEPTH == 0:
+        clear_scan_cache()
+        try:
+            features = args[0] if args else kwargs["features"]
+            es = (args[1] if len(args) > 1 else None) or \
+                kwargs.get("entityset") or _find_es(features)
+            _SCAN_COLS.update(_needed_columns(es, features))
+        except Exception:
+            _SCAN_COLS.clear()  # pruning is best-effort; cache full width
+    _CFM_DEPTH += 1
+    try:
+        return _calculate_feature_matrix(*args, **kwargs)
+    finally:
+        _CFM_DEPTH -= 1
+
+
+def _calculate_feature_matrix(
     features: list[FeatureBase],
     entityset: EntitySet | None = None,
     cutoff_time=None,
@@ -307,12 +453,17 @@ def calculate_feature_matrix(
         by_rel: dict = {}
         for f in static_direct:
             by_rel.setdefault(f.relationship, []).append(f)
-        target_keys = es[target].select(
+        target_keys = _tgt(es, target).select(
             index_col, *{f.relationship.child_col for f in static_direct}
         )
         matrix = matrix.join(target_keys, on=index_col, how="left")
         for rel, feats in by_rel.items():
-            parent_df = es[rel.parent_name]
+            # shared pruned parent frame (PIT/LTI arrive as column
+            # masks, not filters — missing parents must yield defaults)
+            parent_df = _cached_frame(
+                (id(es), rel.parent_name, "dim"),
+                lambda t=rel.parent_name: _scan_base(es, t),
+            )
             pti = es.time_index(rel.parent_name)
             parent_df, cols = _materialize_features(
                 es, rel.parent_name, parent_df,
@@ -372,7 +523,7 @@ def calculate_feature_matrix(
 
     for f in dynamic_direct:
         rel = f.relationship
-        fk_map = es[target].select(index_col, rel.child_col)
+        fk_map = _tgt(es, target).select(index_col, rel.child_col)
         parent_cutoffs = (
             base_keys.join(fk_map, on=index_col, how="left")
             .select(
@@ -398,7 +549,7 @@ def calculate_feature_matrix(
 
     # ---- identity + transform features on the target ----
     if other_feats:
-        tdf = es[target]
+        tdf = _tgt(es, target)
         ti = es.time_index(target)
         # full-dataframe (window) transforms: compute over the whole
         # table in time order first
@@ -423,7 +574,7 @@ def calculate_feature_matrix(
             _ident_deps(f, target, ident_cols)
         if ident_cols:
             matrix = matrix.join(
-                es[target].select(
+                _tgt(es, target).select(
                     index_col,
                     *[F.col(c).alias(f"_ft_mt_{c}")
                       for c in sorted(ident_cols)],
@@ -487,7 +638,7 @@ def calculate_feature_matrix(
             es.meta[target].last_time_index
             and LTI_COLUMN_NAME in es[target].columns
         )
-        tsel = es[target].select(
+        tsel = _tgt(es, target).select(
             index_col,
             *([F.col(tti).alias("_ft_tgt_ti")] if tti else []),
             *([F.col(LTI_COLUMN_NAME).alias("_ft_tgt_lti")]
@@ -579,7 +730,7 @@ def _build_cutoffs(es, target, index_col, cutoff_time):
         cutoff_time = _max_time(es)
     if isinstance(cutoff_time, str):
         cutoff_time = _dt.datetime.fromisoformat(cutoff_time)
-    df = es[target].select(
+    df = _tgt(es, target).select(
         F.col(index_col), F.lit(cutoff_time).cast("timestamp").alias(CUTOFF_COL)
     )
     return df, [], cutoff_time
@@ -636,8 +787,8 @@ def _child_frame(es, path, pit=None):
     list of (ti_col, lti_col | None) carried column names.
     """
     child_name = path[-1].child_name
-    df = es[child_name]
     time_col = es.time_index(child_name)
+    df = _pit_child(es, child_name, time_col, pit)
     if len(path) == 1:
         return df, path[0].child_col, time_col, []
     key_col = "_ft_ancestor_key"
@@ -647,9 +798,22 @@ def _child_frame(es, path, pit=None):
     carried: list = []   # hop column names accumulated on `mapping`
     hops: list = []      # (ti_col, lti_col | None) pairs
     for i, (rel, nxt) in enumerate(zip(path, path[1:])):
-        tbl = es[rel.child_name]  # the intermediate table
+        # the intermediate hop table, shared + PIT-filtered via the
+        # scan cache (the same orders hop serves deep-path groups,
+        # stacked sub-matrices, and direct parents in one call)
         if pit is not None:
-            tbl = _apply_scalar_pit(es, rel.child_name, tbl, pit)
+            tbl = _cached_frame(
+                (id(es), rel.child_name, "hop", str(pit[0]), pit[1],
+                 str(pit[2])),
+                lambda t=rel.child_name: _apply_scalar_pit(
+                    es, t, _scan_base(es, t), pit),
+            )
+        else:
+            tbl = _cached_frame(
+                (id(es), rel.child_name, "base"),
+                lambda t=rel.child_name: _scan_base(es, t),
+                persistable=False,
+            )
         extra_exprs, extra_names = [], []
         if pit is None:
             ti = es.time_index(rel.child_name)

@@ -25,7 +25,8 @@ execution happens in calculate_feature_matrix.
 Defaults match the reference (primitives/utils.py:162-190):
 agg  = [sum, std, max, skew, min, mean, count, percent_true,
         num_unique, mode]
-trans = [day, year, month, weekday, num_words, num_characters]
+trans = [age, day, year, month, weekday, haversine, num_words,
+         num_characters]
 """
 
 from __future__ import annotations
@@ -48,8 +49,8 @@ DEFAULT_AGG_PRIMITIVES = [
     "sum", "std", "max", "skew", "min", "mean", "count",
     "percent_true", "num_unique", "mode",
 ]
-DEFAULT_TRANS_PRIMITIVES = ["day", "year", "month", "weekday",
-                            "num_words", "num_characters"]
+DEFAULT_TRANS_PRIMITIVES = ["age", "day", "year", "month", "weekday",
+                            "haversine", "num_words", "num_characters"]
 
 # per-primitive stacking declarations, lifted from the reference's
 # aggregation primitives (e.g. sum_primitive.py:20-21, skew.py:24-25,
@@ -94,6 +95,11 @@ def _column_kind(es: EntitySet, table: str, col: str) -> str:
     if cs.is_boolean():
         return "boolean"
     if cs.is_datetime():
+        # reference Age matches ONLY Datetime(semantic_tags=
+        # {'date_of_birth'}) (age.py:29); a dob column still matches
+        # plain Datetime inputs (Woodwork tag-superset rule)
+        if "date_of_birth" in tags:
+            return "date_of_birth"
         return "datetime"
     if cs.logical_type in TYPED_STRING_KINDS:
         return TYPED_STRING_KINDS[cs.logical_type]
@@ -128,6 +134,9 @@ def _kind_matches(kind: str, wanted: tuple) -> bool:
         return kind in wanted
     if kind == "time_index":
         kind = "datetime"
+    if kind == "date_of_birth":
+        return ("date_of_birth" in wanted or "datetime" in wanted
+                or "any" in wanted)
     return kind in wanted or "any" in wanted
 
 

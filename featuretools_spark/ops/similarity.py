@@ -45,11 +45,24 @@ def brute_force_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     k: int = 10,
+    max_query_rows: int = 10_000,
 ) -> DataFrame:
     """Exact cosine top-k of corpus rows per query row. The query side
     is broadcast (it is small by construction); the corpus scan is
     one pass, no shuffle until the per-query top-k window (which
-    shuffles only (query, id, score) triples)."""
+    shuffles only (query, id, score) triples).
+
+    The broadcast cross-join is O(|corpus| x |queries|): queries above
+    max_query_rows are REFUSED — use lsh_topk (bucketed candidates)
+    for large query sides, or raise the cap deliberately."""
+    nq = queries.count()
+    if nq > max_query_rows:
+        raise ValueError(
+            f"brute_force_topk broadcasts the query side and scores "
+            f"|corpus| x |queries| pairs: {nq} query rows > "
+            f"max_query_rows={max_query_rows}; use lsh_topk for large "
+            f"query sets or raise max_query_rows explicitly"
+        )
     q = queries.select(
         F.col(query_id_col).alias("__qid"), F.col(query_vec_col).alias("__qv")
     )

@@ -660,6 +660,8 @@ class Season(_DT):
 class Age(_DT):
     name = "age"
     uses_calc_time = True
+    # reference age.py:29 — only Datetime columns tagged date_of_birth
+    input_kinds = ("date_of_birth",)
 
     def expr(self, inputs, ctx):
         # reference age.py: (cutoff - birthday).days / 365

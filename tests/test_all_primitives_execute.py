@@ -57,6 +57,7 @@ _KIND_COL = {
     "boolean": ["flag", "flag"],
     "category": ["cat", "cat"],
     "datetime": ["ts", "dt2"],
+    "date_of_birth": ["dt2", "dt2"],
     "text": ["text", "text"],
     "latlong": ["loc", "loc2"],
     "url": ["url", "url"],

@@ -327,3 +327,52 @@ def test_groupby_transform_of_agg_output(spark, es):
         for _, ck, v, g in lst:
             run += (v or 0)
             assert g == run, (ck, v, g, run)
+
+
+def test_default_trans_primitives_age_haversine(spark):
+    """VERDICT r2 #5: the default transform set matches the reference's
+    get_default_transform_primitives (primitives/utils.py:176-189) —
+    AGE fires only on date_of_birth-tagged Datetime columns, HAVERSINE
+    on LatLong pairs, and both compute under default enumeration."""
+    import datetime as dt
+
+    import featuretools_spark as fts
+    from pyspark.sql import functions as F
+
+    custs = spark.createDataFrame(
+        [(1, dt.datetime(1990, 5, 1), dt.datetime(2020, 1, 1)),
+         (2, dt.datetime(1985, 2, 10), dt.datetime(2021, 3, 4))],
+        "cust_id int, dob timestamp, signup timestamp")
+    txns = spark.createDataFrame(
+        [(10, 1, dt.datetime(2023, 1, 1), (40.0, -74.0), (41.0, -73.0)),
+         (11, 2, dt.datetime(2023, 2, 1), (34.0, -118.0), (33.0, -117.0))],
+        "txn_id int, cust_id int, ts timestamp, "
+        "src struct<lat:double,lng:double>, dst struct<lat:double,lng:double>")
+    es = fts.EntitySet("dob")
+    es.add_dataframe("custs", custs, index="cust_id",
+                     semantic_tags={"dob": {"date_of_birth"}})
+    es.add_dataframe("txns", txns, index="txn_id", time_index="ts",
+                     logical_types={"src": "LatLong", "dst": "LatLong"})
+    es.add_relationship("custs", "cust_id", "txns", "cust_id")
+
+    feats = fts.dfs(entityset=es, target_dataframe_name="txns",
+                    features_only=True, max_depth=2)
+    names = {f.get_name() for f in feats}
+    assert "HAVERSINE(src, dst)" in names or "HAVERSINE(dst, src)" in names
+    # dob transforms at the parent grain come down as directs
+    assert "custs.AGE(dob)" in names          # dob -> AGE enumerated
+    assert "AGE(ts)" not in names             # plain datetime: no AGE
+    assert "custs.AGE(signup)" not in names   # untagged parent datetime
+    assert "custs.MONTH(dob)" in names        # dob still a Datetime
+
+    compute = [f for f in feats
+               if f.get_name() in ("custs.AGE(dob)", "HAVERSINE(src, dst)",
+                                   "HAVERSINE(dst, src)")]
+    fm = fts.calculate_feature_matrix(
+        compute, es, cutoff_time=dt.datetime(2024, 1, 1))
+    rows = {r["txn_id"]: r for r in fm.collect()}
+    age1 = rows[10]["custs.AGE(dob)"]
+    assert abs(age1 - (dt.date(2024, 1, 1) - dt.date(1990, 5, 1)).days
+               / 365.0) < 1e-9
+    hcol = [c for c in fm.columns if c.startswith("HAVERSINE")][0]
+    assert 50 < rows[10][hcol] < 120  # NYC-ish hop, miles

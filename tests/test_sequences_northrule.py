@@ -250,6 +250,17 @@ def test_salted_sortmerge_matches_join(spark, seq_es, window):
         AggregationFeature(ts, "entities", "first_last_time_delta", es=es),
         AggregationFeature(ts, "entities", "avg_time_between", es=es),
     ]
+    # boolean reducers (round-3 kernel additions)
+    from featuretools_spark.features import TransformFeature
+    from featuretools_spark.primitives.transform import GreaterThanScalar
+
+    big = TransformFeature(GreaterThanScalar(value=256), [n_tok])
+    feats += [
+        AggregationFeature(big, "entities", "num_true", es=es),
+        AggregationFeature(big, "entities", "percent_true", es=es),
+        AggregationFeature(big, "entities", "any", es=es),
+        AggregationFeature(big, "entities", "all", es=es),
+    ]
     cols = [f.get_name() for f in feats]
     kw = dict(cutoff_time=cuts, training_window=window)
     a = _fm_dict(fts.calculate_feature_matrix(
