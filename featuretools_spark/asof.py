@@ -429,7 +429,14 @@ def _asof_join(child, key_col, time_col, cutoffs, instance_col, specs,
                     if time_col else None,
                     cutoff=ctx.cutoff,
                 )
-            aggs.append(s.primitive.expr(inputs, local_ctx).alias(s.out_name))
+            # empty-window guard: primitives that coalesce nulls
+            # internally (percent_true's fillna(False)) would otherwise
+            # count the LEFT join's null-extended row as an observation
+            # — "no child rows" must yield NULL, then the default fill
+            guard0 = F.count(F.col(f"__ev.{key_col}")) > 0
+            aggs.append(
+                F.when(guard0, s.primitive.expr(inputs, local_ctx))
+                .alias(s.out_name))
         # the LEFT join preserves every cutoff row, so the groupBy
         # output IS the full key set — no join-back needed
         out = joined.groupBy(

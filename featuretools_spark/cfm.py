@@ -331,8 +331,14 @@ def _calculate_feature_matrix(
             seen_stk = set()
             for f in feats:
                 for b in f.base_features:
-                    if (isinstance(b, (AggregationFeature, DirectFeature))
-                            and b.get_name() not in seen_stk):
+                    # hoist bare agg/direct inputs AND transforms that
+                    # contain one (depth>=3: MEAN(orders.ABS(SUM(...))))
+                    # — the recursive per-row sub-matrix computes
+                    # transforms of agg outputs on its own matrix
+                    if (b.get_name() not in seen_stk
+                            and (isinstance(b, (AggregationFeature,
+                                                DirectFeature))
+                                 or _has_agg_or_direct_dep(b))):
                         seen_stk.add(b.get_name())
                         stacked.append(b)
             if stacked:

@@ -376,3 +376,51 @@ def test_default_trans_primitives_age_haversine(spark):
                / 365.0) < 1e-9
     hcol = [c for c in fm.columns if c.startswith("HAVERSINE")][0]
     assert 50 < rows[10][hcol] < 120  # NYC-ish hop, miles
+
+
+def test_depth3_transform_of_agg_as_agg_input_per_row(spark, es):
+    """Depth-3 at PER-ROW cutoffs: a transform OF an aggregation used
+    as an aggregation input (PERCENT_TRUE(orders.SUM(lineitem.x) >
+    100)) — the transform subtree is hoisted into the recursive aux
+    matrix (whose own matrix-transform path computes it), and the
+    empty-window guard keeps percent_true NULL for entities with no
+    qualifying child rows. Ground truth: the scalar path."""
+    import datetime as dt
+
+    import featuretools_spark as fts
+    from featuretools_spark.features import (
+        AggregationFeature, IdentityFeature, TransformFeature,
+    )
+    from featuretools_spark.primitives.transform import GreaterThanScalar
+
+    qty = IdentityFeature(es, "lineitem", "l_quantity")
+    inner = AggregationFeature(qty, "orders", "sum", es=es)
+    tr = TransformFeature(GreaterThanScalar(value=100), [inner])
+    feats = [
+        AggregationFeature(tr, "customer", "percent_true", es=es),
+        AggregationFeature(inner, "customer", "mean", es=es),
+    ]
+    cols = [f.get_name() for f in feats]
+    t1, t2 = dt.datetime(1995, 1, 1), dt.datetime(1997, 1, 1)
+    custs = [r[0] for r in
+             es["customer"].select("c_custkey").limit(30).collect()]
+    cuts = spark.createDataFrame(
+        [(c, t1 if i % 2 == 0 else t2) for i, c in enumerate(custs)],
+        "c_custkey long, time timestamp")
+    fm = fts.calculate_feature_matrix(feats, es, cutoff_time=cuts)
+    got = {(r["c_custkey"], r["time"]): tuple(r[c] for c in cols)
+           for r in fm.collect()}
+    assert len(got) == len(custs)
+    for t in (t1, t2):
+        ids = [c for i, c in enumerate(custs) if (i % 2 == 0) == (t == t1)]
+        ref = fts.calculate_feature_matrix(feats, es, cutoff_time=t,
+                                           instance_ids=ids)
+        for r in ref.collect():
+            want = tuple(r[c] for c in cols)
+            have = got[(r["c_custkey"], t)]
+            for x, y in zip(want, have):
+                if x is None or y is None:
+                    assert x == y, (r["c_custkey"], t, want, have)
+                else:
+                    assert abs(float(x) - float(y)) < 1e-9, (
+                        r["c_custkey"], t, want, have)
