@@ -266,65 +266,89 @@ def run_once(sf_dir: str, cpus: int, queries=None) -> dict:
     }
 
 
-def run_scaling(sf_dir: str, n: int = 2) -> dict:
+def _median(xs):
+    s = sorted(xs)
+    m = len(s) // 2
+    return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2.0
+
+
+def run_scaling(sf_dir: str, n: int = 2, reps: int = 3,
+                pin: bool = True) -> dict:
     """Scaling-efficiency evidence (BASELINE.json north rule): the SAME
     flagship as-of backfill at local[n] and local[4n], fresh JVM each,
     sequential (never concurrent — contention invalidates the ratio).
     Input: synthetic sequences big enough that compute dominates fixed
     overheads; tokens capped short so the one-time materialization is
-    cheap — they are column-pruned by every scan anyway. The input AND
-    the cutoff table are pinned in memory during warm-up: on one box,
-    disk + memory bandwidth are shared across all threads (unlike
-    executor scaling on a real cluster), so the honest local proxy
-    measures compute+shuffle, and the default pair is local[2] vs
-    local[8] (a 4x pair below the single-socket bandwidth ceiling).
-    Each config times ONE cold execution (Spark reuses shuffle map
-    outputs across repeated actions on the same plan, so "warm" runs
-    only measure the final stage — cold is the honest number).
+    cheap — they are column-pruned by every scan anyway.
+    Each rep times ONE cold execution per leg (Spark reuses shuffle
+    map outputs across repeated actions on the same plan, so "warm"
+    runs only measure the final stage — cold is the honest number);
+    legs are interleaved (n, 4n, n, 4n, ...) so a drifting box hits
+    both legs, and each leg's JVM is pinned with `taskset -c 0..c-1`
+    to exactly its core count — local[2] on a 32-core box otherwise
+    spreads GC/IO/Python threads over idle cores, which no 2-executor
+    cluster gets to do, overstating t(4n)/understating efficiency...
+    and vice versa.  Reported: per-rep times, per-leg medians,
+    efficiency of the medians, and per-rep paired efficiencies.
     efficiency = throughput(4n) / (4 x throughput(n)) = t_n/(4·t_4n)."""
-    out = {}
-    for cpus in (n, 4 * n):
-        env = dict(os.environ)
-        env["SPARK_GRAFT_SF_DIR"] = sf_dir
-        env["SPARK_GRAFT_CPUS"] = str(cpus)
-        # 100M rows: fixed driver-side cost (plan + codegen + AQE,
-        # ~5s measured at trivial input) must be amortized or the
-        # ratio measures overhead, not the operator. No JVM block
-        # cache and a modest heap: pinning 20M rows in a 48g heap at
-        # local[2] produced 2-3x GC-driven run-to-run variance; the
-        # parquet input is page-cache resident after the (untimed)
-        # prepare, and parquet DECODE is CPU work that scales with
-        # cores — unlike raw disk bandwidth, which does not.
-        env.setdefault("SPARK_GRAFT_BENCH_ROWS", "100000000")
-        env.setdefault("SPARK_GRAFT_BENCH_MAXTOK", "16")
-        env.setdefault("SPARK_DRIVER_MEM", "8g")
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--single",
-             "backfill_seq"],  # ONE cold run: re-running the same
-            # DataFrame would skip already-computed shuffle stages
-            # (MapOutputTracker reuse) and time only the final stage
-            capture_output=True, text=True, env=env, timeout=3600,
-        )
-        line = [l for l in r.stdout.splitlines() if l.startswith("{")][-1]
-        out[cpus] = json.loads(line)
-    t_n = out[n]["queries"]["backfill_seq"]
-    t_4n = out[4 * n]["queries"]["backfill_seq"]
-    eff = (t_n / t_4n) / 4.0
+    times = {n: [], 4 * n: []}
+    rows_out = None
+    for rep in range(reps):
+        for cpus in (n, 4 * n):
+            env = dict(os.environ)
+            env["SPARK_GRAFT_SF_DIR"] = sf_dir
+            env["SPARK_GRAFT_CPUS"] = str(cpus)
+            # 100M rows: fixed driver-side cost (plan + codegen + AQE,
+            # ~5s measured at trivial input) must be amortized or the
+            # ratio measures overhead, not the operator. No JVM block
+            # cache and a modest heap: pinning 20M rows in a 48g heap
+            # at local[2] produced 2-3x GC-driven run-to-run variance;
+            # the parquet input is page-cache resident after the
+            # (untimed) prepare, and parquet DECODE is CPU work that
+            # scales with cores — unlike raw disk bandwidth.
+            env.setdefault("SPARK_GRAFT_BENCH_ROWS", "100000000")
+            env.setdefault("SPARK_GRAFT_BENCH_MAXTOK", "16")
+            env.setdefault("SPARK_DRIVER_MEM", "8g")
+            cmd = [sys.executable, os.path.abspath(__file__), "--single",
+                   "backfill_seq"]
+            if pin:
+                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               env=env, timeout=3600)
+            line = [l for l in r.stdout.splitlines()
+                    if l.startswith("{")][-1]
+            parsed = json.loads(line)
+            times[cpus].append(parsed["queries"]["backfill_seq"])
+            rows_out = parsed["rows"]["backfill_seq"]
+            print(json.dumps({"rep": rep + 1, "cores": cpus,
+                              "sec": times[cpus][-1]}), file=sys.stderr)
+    med_n, med_4n = _median(times[n]), _median(times[4 * n])
+    per_rep_eff = [round((a / b) / 4.0, 3)
+                   for a, b in zip(times[n], times[4 * n])]
+    disp = {c: round(max(ts) / min(ts), 3) for c, ts in times.items()}
     return {
         "metric": "scaling_efficiency",
-        "value": round(eff, 3),
+        "value": round((med_n / med_4n) / 4.0, 3),   # median pairing
         "unit": "ratio",
         "n_cores": n,
-        "t_n_sec": t_n,
-        "t_4n_sec": t_4n,
-        "rows": out[n]["rows"]["backfill_seq"],
-        "detail": {str(k): v for k, v in out.items()},
+        "reps": reps,
+        "pinned": pin,
+        "t_n_sec": times[n],
+        "t_4n_sec": times[4 * n],
+        "t_n_median": med_n,
+        "t_4n_median": med_4n,
+        "per_rep_efficiency": per_rep_eff,
+        "per_leg_dispersion_max_over_min": {str(k): v
+                                            for k, v in disp.items()},
+        "rows": rows_out,
     }
 
 
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
-        print(json.dumps(run_scaling(SF_DIR)))
+        reps = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3"))
+        pin = os.environ.get("SPARK_GRAFT_SCALING_PIN", "1") == "1"
+        print(json.dumps(run_scaling(SF_DIR, reps=reps, pin=pin)))
     elif "--single" in sys.argv:
         idx = sys.argv.index("--single")
         names = sys.argv[idx + 1].split(",") if len(sys.argv) > idx + 1 else None

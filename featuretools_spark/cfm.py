@@ -1129,6 +1129,22 @@ def _apply_pandas_transform(df, prim, in_cols, out_col, order_cols, part_cols):
 
     if part_cols:
         return df.groupBy(*part_cols).applyInPandas(fn, schema)
+    # global (no partition key) EWM primitives have a genuinely
+    # distributed evaluation — a two-pass segmented prefix scan over
+    # range partitions (ewm.py) — so they never hit the single-group
+    # collapse below
+    from featuretools_spark.ewm import ewm_global
+    from featuretools_spark.primitives.transform import _EWMBase
+
+    if isinstance(prim, _EWMBase):
+        kind = {"exponential_weighted_average": "mean",
+                "exponential_weighted_std": "std",
+                "exponential_weighted_variance": "var"}[prim.name]
+        return ewm_global(
+            df, in_cols[0], out_col, order_cols, kind=kind,
+            alpha=prim.alpha, com=prim.com, span=prim.span,
+            halflife=prim.halflife, ignore_na=prim.ignore_na,
+        )
     # single global group (full-column semantics, reference parity);
     # a bare int literal in groupBy is parsed as an ordinal — use a
     # materialized constant column instead. This shape collapses the
