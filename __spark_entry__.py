@@ -855,6 +855,19 @@ def q_fingerprint(spark, sf_dir):
     return fingerprint(docs, "doc_id", "text")
 
 
+def q_embedding_dedup(spark, sf_dir):
+    """embedding-cosine near-dup pairs, exact all-pairs method (the
+    LSH path's correctness oracle; reference has no analogue — this
+    is part of the training-data-pipeline surface)."""
+    from featuretools_spark.ops.dedup import embedding_near_duplicates
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_near_duplicates(
+        emb, "vec_id", "embedding", threshold=0.35, method="exact"
+    )
+    return _r4(out, ["cos"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dfs_depth1(spark, "/root/testdata/sf0.001")
@@ -896,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "custom_primitive": q_custom_primitive,
         "lsh_topk": q_lsh_topk,
         "fingerprint": q_fingerprint,
+        "embedding_dedup": q_embedding_dedup,
         "holistic_wide": q_holistic_wide,
         "groupby_trans_agg": q_groupby_trans_agg,
     }
@@ -1403,6 +1417,20 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, {_R('score')} AS score, rank
             FROM r WHERE rank <= 5
+        """,
+        "embedding_dedup": f"""
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ), p AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       list_dot_product(a.v, b.v)
+                       / (sqrt(list_dot_product(a.v, a.v))
+                          * sqrt(list_dot_product(b.v, b.v))) AS cos
+                FROM e a JOIN e b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, {_R('cos')} AS cos
+            FROM p WHERE cos >= 0.35
         """,
         "ngram_jaccard": f"""
             WITH sh AS (

@@ -277,3 +277,89 @@ def ngram_jaccard_pairs(
     return joined.select(
         "id_a", "id_b", (inter / union).alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    method: str = "lsh",
+    n_planes: int = 12,
+    n_tables: int = 6,
+    seed: int = 42,
+    max_rows_exact: int = 50_000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos) with
+    id_a < id_b and cos >= threshold.
+
+    method="lsh" (the scale path): random-hyperplane signatures
+    (similarity.rh_signature — deterministic hash-derived planes, one
+    JVM expression per table) bucket the corpus n_tables times; rows
+    sharing any full signature in any table become candidates, then
+    the exact JVM cosine (zip_with dot product) filters. High-cosine
+    pairs collide with probability (1 - theta/pi)^n_planes per table
+    — recall is tuned by n_tables, candidate volume by n_planes.
+    Shuffle cost: one self-join per signature table on a LONG key,
+    pairs deduped before the cosine re-rank.
+
+    method="exact": all-pairs cosine — O(n^2), REFUSED above
+    max_rows_exact rows; the correctness oracle for the LSH path.
+    """
+    from featuretools_spark.ops.similarity import cosine, rh_signature
+
+    base = df.select(F.col(id_col), F.col(vec_col))
+    if method == "exact":
+        n = base.count()
+        if n > max_rows_exact:
+            raise ValueError(
+                f"embedding_near_duplicates(method='exact') is quadratic: "
+                f"{n} rows > max_rows_exact={max_rows_exact}; use "
+                f"method='lsh' at corpus scale"
+            )
+        a, b = base.alias("a"), base.alias("b")
+        pairs = a.join(
+            b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("cos"),
+        )
+        return pairs.filter(F.col("cos") >= threshold)
+
+    if method != "lsh":
+        raise ValueError(f"unknown method {method!r}: use 'lsh' or 'exact'")
+
+    sig = base
+    for t in range(n_tables):
+        sig = rh_signature(sig, vec_col, n_planes, seed + 7919 * t) \
+            .withColumnRenamed("rh_sig", f"__sig{t}")
+    tabbed = sig.select(
+        id_col, vec_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("tbl"), F.col(f"__sig{t}").alias("sig"))
+            for t in range(n_tables)
+        ])).alias("ts"),
+    ).select(id_col, vec_col, F.col("ts.tbl").alias("tbl"),
+             F.col("ts.sig").alias("sig"))
+    a, b = tabbed.alias("a"), tabbed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("__va"),
+            F.col(f"b.{vec_col}").alias("__vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cos", cosine(F.col("__va"), F.col("__vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -162,3 +162,50 @@ def test_brute_force_topk_refuses_large_query_side(spark):
         brute_force_topk(corpus, queries, k=3, max_query_rows=10)
     out = brute_force_topk(corpus, queries, k=3, max_query_rows=100)
     assert out.count() == 90
+
+
+def test_embedding_near_dup_lsh_recall(spark):
+    """Planted high-cosine pairs (v + small noise, cos >= ~0.97) must
+    be recovered by the random-hyperplane LSH path at >= 0.9 recall,
+    with every reported pair verified exact (precision 1 by
+    construction: the final filter is the true cosine)."""
+    import numpy as np
+
+    from featuretools_spark.ops.dedup import embedding_near_duplicates
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(150, 32)
+    near = base[:30] + 0.08 * rng.randn(30, 32)   # planted near-dups
+    far = rng.randn(120, 32)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    rows += [(1000 + i, [float(x) for x in v]) for i, v in enumerate(near)]
+    rows += [(5000 + i, [float(x) for x in v]) for i, v in enumerate(far)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(
+            df, "vec_id", "embedding", threshold=0.9, method="exact"
+        ).collect()
+    }
+    assert len(exact) >= 25     # the planted pairs are really there
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(
+            df, "vec_id", "embedding", threshold=0.9, method="lsh",
+            n_planes=10, n_tables=8,
+        ).collect()
+    }
+    assert got <= exact          # precision 1: exact cosine re-check
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} < 0.9"
+
+
+def test_embedding_near_dup_exact_refuses_large(spark):
+    df = spark.range(100).selectExpr(
+        "id AS vec_id", "array(cast(id as double)) AS embedding")
+    from featuretools_spark.ops.dedup import embedding_near_duplicates
+
+    with pytest.raises(ValueError, match="quadratic"):
+        embedding_near_duplicates(df, "vec_id", "embedding",
+                                  method="exact", max_rows_exact=10)
