@@ -1145,6 +1145,16 @@ def _apply_pandas_transform(df, prim, in_cols, out_col, order_cols, part_cols):
             alpha=prim.alpha, com=prim.com, span=prim.span,
             halflife=prim.halflife, ignore_na=prim.ignore_na,
         )
+    # bounded-window kernels (savgol, rolling_outlier_count): each row
+    # reads a fixed neighbourhood, so chunk + halo-exchange instead of
+    # collapsing into one pandas frame
+    halo = getattr(prim, "halo", lambda: None)()
+    if halo is not None:
+        from featuretools_spark.chunked import bounded_window_global
+
+        return bounded_window_global(
+            df, prim, in_cols, out_col, order_cols, halo[0], halo[1]
+        )
     # single global group (full-column semantics, reference parity);
     # a bare int literal in groupBy is parsed as an ordinal — use a
     # materialized constant column instead. This shape collapses the

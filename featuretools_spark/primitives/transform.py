@@ -1512,6 +1512,12 @@ class RollingOutlierCount(_PandasKernelTransform):
         self.gap = int(gap)
         self.min_periods = int(min_periods) if min_periods else 1
 
+    def halo(self):
+        """Trailing window + gap: row i reads rows
+        [i-gap-window_length+1, i-gap] — distributable by
+        halo-chunking (chunked.bounded_window_global)."""
+        return (self.window_length + self.gap - 1, 0)
+
     def pandas(self, pdf, in_cols, out_col, order_cols):
         s = pdf[in_cols[0]]
         if self.gap:
@@ -1540,6 +1546,13 @@ class SavgolFilter(_PandasKernelTransform):
     def __init__(self, window_length=5, polyorder=3):
         self.window_length = int(window_length)
         self.polyorder = int(polyorder)
+
+    def halo(self):
+        """Centered FIR window: interior rows read window_length//2
+        rows each side (scipy mode='interp' edge fits only apply at
+        the true sequence edges, which stay in the first/last chunk)."""
+        h = self.window_length // 2
+        return (h, h)
 
     def pandas(self, pdf, in_cols, out_col, order_cols):
         try:
