@@ -855,6 +855,23 @@ def q_fingerprint(spark, sf_dir):
     return fingerprint(docs, "doc_id", "text")
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF (k-means coarse quantizer, n_probe inverted lists)
+    approximate top-k — k-means labeling is engine-specific, so the
+    driver records a rows-only check; recall is gated by
+    test_dedup_quality.test_ivf_topk_recall_on_clustered_data."""
+    from featuretools_spark.ops.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+    out = ivf_topk(emb.filter(F.col("vec_id") >= 5), queries,
+                   id_col="vec_id", vec_col="embedding", k=5,
+                   n_clusters=16, n_probe=12, max_iter=3)
+    return _r4(out.select("query_id", "vec_id", "score", "rank"), ["score"])
+
+
 def q_embedding_dedup(spark, sf_dir):
     """embedding-cosine near-dup pairs, exact all-pairs method (the
     LSH path's correctness oracle; reference has no analogue — this
@@ -910,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "fingerprint": q_fingerprint,
         "embedding_dedup": q_embedding_dedup,
+        "ivf_topk": q_ivf_topk,
         "holistic_wide": q_holistic_wide,
         "groupby_trans_agg": q_groupby_trans_agg,
     }

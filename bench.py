@@ -209,8 +209,9 @@ def run_once(sf_dir: str, cpus: int, queries=None) -> dict:
     import __spark_entry__ as entrymod
     from featuretools_spark.session import get_spark
 
+    shuf = int(os.environ.get("SPARK_GRAFT_SHUFFLE", 0)) or max(cpus, 8)
     spark = get_spark(
-        "bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8)
+        "bench", master=f"local[{cpus}]", shuffle_partitions=shuf
     )
     sf = _sf_label(sf_dir)
     qs = dict(entrymod.queries())
@@ -308,7 +309,15 @@ def run_scaling(sf_dir: str, n: int = 2, reps: int = 3,
             # scales with cores — unlike raw disk bandwidth.
             env.setdefault("SPARK_GRAFT_BENCH_ROWS", "100000000")
             env.setdefault("SPARK_GRAFT_BENCH_MAXTOK", "16")
-            env.setdefault("SPARK_DRIVER_MEM", "8g")
+            # faithfulness to the N-vs-4N EXECUTOR criterion: each
+            # executor brings its own heap, so aggregate memory scales
+            # with the cluster — heap ∝ cores here; and shuffle
+            # partitions are sized to the cluster (4 waves per core in
+            # BOTH legs) — a single equal partition count would give
+            # the small leg multi-wave straggler smoothing the big leg
+            # doesn't get, an asymmetry no real cluster pair has.
+            env.setdefault("SPARK_DRIVER_MEM", f"{2 * cpus}g")
+            env.setdefault("SPARK_GRAFT_SHUFFLE", str(4 * cpus))
             cmd = [sys.executable, os.path.abspath(__file__), "--single",
                    "backfill_seq"]
             if pin:

@@ -183,3 +183,141 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    n_clusters: int = 64,
+    max_iter: int = 5,
+    seed: int = 42,
+) -> list:
+    """Deterministic Lloyd's k-means over an embedding column, all in
+    DataFrame ops — the IVF coarse quantizer.
+
+    Init: the n_clusters rows with the smallest xxhash64(vec, seed)
+    (a deterministic uniform sample — no RNG state, reproducible
+    across runs/executors). Each iteration: broadcast centroids,
+    assign each row to its nearest centroid by squared L2 (one
+    argmin over a literal array of centroid structs), recompute
+    centroids with posexplode + groupBy(cluster, pos) avg — a
+    map-side-combinable shuffle of dim doubles per row. Returns the
+    centroid list (driver-side: n_clusters x dim floats).
+    """
+    ranked = corpus.select(
+        F.col(vec_col).alias("v"),
+        F.xxhash64(F.col(vec_col).cast("array<string>"), F.lit(seed))
+        .alias("__h"),
+    ).orderBy("__h").limit(n_clusters)
+    cents = [
+        [float(x) for x in r["v"]] for r in ranked.collect()
+    ]
+    base = corpus.select(F.col(vec_col).alias("v"))
+    for _ in range(max_iter):
+        carr = F.array(*[
+            F.struct(
+                F.lit(i).alias("cid"),
+                F.array(*[F.lit(x) for x in c]).alias("cv"),
+            )
+            for i, c in enumerate(cents)
+        ])
+        # nearest centroid: fold over the centroid array keeping the
+        # (cid, dist) pair with the smaller squared distance
+        def _d2(cv):
+            return F.aggregate(
+                F.zip_with(F.col("v"), cv,
+                           lambda a, b: (a.cast("double") - b)
+                           * (a.cast("double") - b)),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+
+        assigned = base.withColumn(
+            "__best",
+            F.array_sort(F.transform(
+                carr, lambda c: F.struct(_d2(c["cv"]).alias("d"),
+                                         c["cid"].alias("cid"))
+            ))[0]["cid"],
+        )
+        new = (
+            assigned.select("__best", F.posexplode("v").alias("pos", "x"))
+            .groupBy("__best", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("__best")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m")))
+                 .alias("pm"))
+            .select("__best", F.transform("pm", lambda s: s["m"]).alias("cv"))
+            .collect()
+        )
+        got = {r["__best"]: [float(x) for x in r["cv"]] for r in new}
+        cents = [got.get(i, cents[i]) for i in range(len(cents))]
+    return cents
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 10,
+    n_clusters: int = 64,
+    n_probe: int = 8,
+    max_iter: int = 5,
+    seed: int = 42,
+    centroids: list | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: a k-means coarse quantizer partitions the
+    corpus into inverted lists; each query probes its n_probe nearest
+    lists and exact-cosine re-ranks only those candidates.
+
+    Scale shape: centroids are tiny and broadcast; the corpus is
+    scanned once to label rows with their list id (in a real pipeline
+    the labeled corpus is written bucketed by list id, making each
+    query's probe a partition-pruned read); the candidate join is
+    corpus ⋈ broadcast(query-probes) on the list id — candidates per
+    query ≈ n_probe/n_clusters of the corpus instead of all of it.
+    Recall is tuned by n_probe."""
+    if centroids is None:
+        centroids = kmeans_centroids(corpus, vec_col, n_clusters,
+                                     max_iter, seed)
+    carr = F.array(*[
+        F.struct(F.lit(i).alias("cid"),
+                 F.array(*[F.lit(x) for x in c]).alias("cv"))
+        for i, c in enumerate(centroids)
+    ])
+
+    def _d2(vcol, cv):
+        return F.aggregate(
+            F.zip_with(vcol, cv, lambda a, b: (a.cast("double") - b)
+                       * (a.cast("double") - b)),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+
+    def probes(vcol, n):
+        """n nearest centroid ids: sort (d, cid) structs — each
+        distance evaluated once (min-fold with when() would evaluate
+        _d2 twice per comparison)."""
+        ds = F.transform(
+            carr, lambda c: F.struct(_d2(vcol, c["cv"]).alias("d"),
+                                     c["cid"].alias("cid")))
+        return F.transform(F.slice(F.array_sort(ds), 1, n),
+                           lambda s: s["cid"])
+
+    labeled = corpus.withColumn(
+        "__list", probes(F.col(vec_col), 1)[0])
+
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.col(query_vec_col).alias("__qv"),
+    ).withColumn("__list", F.explode(probes(F.col("__qv"), n_probe)))
+    cand = labeled.join(F.broadcast(q), on="__list")
+    scored = cand.select(
+        F.col("__qid").alias(query_id_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col("__qv")).alias("score"),
+    ).dropDuplicates([query_id_col, id_col])
+    w = W.partitionBy(query_id_col).orderBy(F.desc("score"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -209,3 +209,38 @@ def test_embedding_near_dup_exact_refuses_large(spark):
     with pytest.raises(ValueError, match="quadratic"):
         embedding_near_duplicates(df, "vec_id", "embedding",
                                   method="exact", max_rows_exact=10)
+
+
+def test_ivf_topk_recall_on_clustered_data(spark):
+    """IVF with a k-means coarse quantizer: on clustered embeddings
+    (the realistic shape — uniform-random vectors are IVF's worst
+    case) recall@10 vs brute force must be >= 0.9, and the quantizer
+    must be deterministic across runs."""
+    import numpy as np
+
+    from featuretools_spark.ops.similarity import (
+        brute_force_topk, ivf_topk, kmeans_centroids,
+    )
+
+    rng = np.random.RandomState(8)
+    centers = rng.randn(12, 16) * 4.0
+    pts = np.concatenate(
+        [c + rng.randn(60, 16) * 0.5 for c in centers])    # 720 rows
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(pts)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    corpus = df.filter(F.col("vec_id") >= 24)
+    qs = df.filter(F.col("vec_id") < 24).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"))
+
+    exact = {(r["query_id"], r["vec_id"])
+             for r in brute_force_topk(corpus, qs, k=10).collect()}
+    got = {(r["query_id"], r["vec_id"])
+           for r in ivf_topk(corpus, qs, k=10, n_clusters=12, n_probe=3,
+                             max_iter=4).collect()}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"IVF recall {recall:.2f} < 0.9"
+
+    c1 = kmeans_centroids(corpus, "embedding", 12, max_iter=2)
+    c2 = kmeans_centroids(corpus, "embedding", 12, max_iter=2)
+    assert c1 == c2     # hash-seeded init + DataFrame math: deterministic
