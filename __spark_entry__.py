@@ -872,6 +872,29 @@ def q_ivf_topk(spark, sf_dir):
     return _r4(out.select("query_id", "vec_id", "score", "rank"), ["score"])
 
 
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing through the driver surface: documents'
+    text bytes as an opaque binary payload -> Arrow-batched
+    mapInPandas decode/feature-extract (deterministic STUB codec —
+    the real image libs are not in this container, so the check is
+    rows-only; the plumbing itself is pytest-gated in
+    test_io_multimodal)."""
+    from featuretools_spark.ops.multimodal import image_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    out = image_features(media, payload_col="payload",
+                         id_col="media_id", n_features=8)
+    return out.select(
+        "media_id", "n_bytes",
+        F.round(F.aggregate("img_features", F.lit(0.0),
+                            lambda a, x: a + x), 4).alias("feat_sum"),
+    )
+
+
 def q_embedding_dedup(spark, sf_dir):
     """embedding-cosine near-dup pairs, exact all-pairs method (the
     LSH path's correctness oracle; reference has no analogue — this
@@ -928,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "embedding_dedup": q_embedding_dedup,
         "ivf_topk": q_ivf_topk,
+        "multimodal_features": q_multimodal_features,
         "holistic_wide": q_holistic_wide,
         "groupby_trans_agg": q_groupby_trans_agg,
     }
