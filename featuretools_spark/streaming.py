@@ -79,3 +79,91 @@ def streaming_rolling_agg(
             F.avg(value_col).alias("mean_v"),
         )
     )
+
+
+def streaming_running_features(
+    events: DataFrame,
+    entity_col: str,
+    time_col: str,
+    value_col: str,
+    timeout_minutes: int | None = None,
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-entity
+    RUNNING feature vector maintained in state — the streaming twin of
+    the batch as-of backfill (each emitted row holds the feature
+    values as of that micro-batch, computed only from events at or
+    before it: leakage-free by construction, matching the batch
+    engine's cutoff semantics).
+
+    State per entity: (n, sum, sum_sq, last_event_epoch) — constant
+    size, merged associatively with each micro-batch's Arrow batch in
+    vectorized pandas. Emits one row per (entity, batch) update:
+    count / sum / mean / std (population, like the batch STD) /
+    time_since_last at the batch's max event time.
+
+    timeout_minutes: evict state for entities idle longer than this
+    (processing-time timeout) — bounds state size on 10^12-entity
+    streams where old entities never return.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    etype = dict(
+        (f.name, f.dataType.simpleString()) for f in events.schema.fields
+    )[entity_col]
+    out_schema = (
+        f"{entity_col} {etype}, n long, sum_v double, mean_v double, "
+        "std_v double, time_since_last double, asof_epoch double"
+    )
+    state_schema = "n long, s double, ss double, last_t double"
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_minutes
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        import numpy as np
+
+        n0, s0, ss0, lt0 = state.get if state.exists else (0, 0.0, 0.0, None)
+        prev_lt = lt0
+        mx = None
+        for pdf in pdfs:
+            v = pd.to_numeric(pdf[value_col], errors="coerce")
+            t = pd.to_datetime(pdf[time_col]).astype("int64") / 1e9
+            n0 += int(v.notna().sum())
+            s0 += float(np.nansum(v))
+            ss0 += float(np.nansum(v * v))
+            bmax = float(t.max())
+            mx = bmax if mx is None else max(mx, bmax)
+            lt0 = bmax if lt0 is None else max(lt0, bmax)
+        if mx is None:
+            return
+        state.update((n0, s0, ss0, lt0))
+        if timeout_minutes:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        mean = s0 / n0 if n0 else None
+        var = max(ss0 / n0 - mean * mean, 0.0) if n0 else None
+        yield pd.DataFrame([{
+            entity_col: key[0],
+            "n": n0,
+            "sum_v": s0,
+            "mean_v": mean,
+            "std_v": var ** 0.5 if var is not None else None,
+            # time since the last event BEFORE this batch, as of the
+            # batch's max event time (None on an entity's first batch)
+            "time_since_last": (mx - prev_lt) if prev_lt is not None
+            else None,
+            "asof_epoch": mx,
+        }])
+
+    return (
+        events.groupBy(entity_col)
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", timeout
+        )
+    )

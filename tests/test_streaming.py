@@ -73,3 +73,54 @@ def test_streaming_rolling_agg_runs(spark, tmp_path):
         q.stop()
     n = spark.sql("SELECT count(*) FROM roll_out").collect()[0][0]
     assert n > 0
+
+
+def test_streaming_running_features_match_batch(spark, tmp_path):
+    """applyInPandasWithState custom stateful operator: after the
+    stream drains, each entity's final running feature vector must
+    equal the batch aggregation over all its events (count / sum /
+    mean / population std), leakage-free at each update."""
+    from featuretools_spark.streaming import streaming_running_features
+
+    schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
+    stream = (
+        spark.readStream.format("parquet").schema(schema)
+        .load(_stream_dir(tmp_path))
+    )
+    out = streaming_running_features(stream, "user_id", "ts", "value")
+    q = (
+        out.writeStream.outputMode("update").format("memory")
+        .queryName("run_feats").start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # latest update per entity (highest asof_epoch)
+    got = {
+        r["user_id"]: r
+        for r in spark.sql(
+            "SELECT * FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY asof_epoch DESC) rn "
+            "FROM run_feats) WHERE rn = 1"
+        ).collect()
+    }
+    want = {
+        r["user_id"]: r
+        for r in spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy("user_id")
+        .agg(
+            F.count("value").alias("n"),
+            F.sum("value").alias("sum_v"),
+            F.avg("value").alias("mean_v"),
+            F.stddev_pop("value").alias("std_v"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want)
+    for uid, w in want.items():
+        g = got[uid]
+        assert g["n"] == w["n"]
+        assert abs(g["sum_v"] - w["sum_v"]) < 1e-6
+        assert abs(g["mean_v"] - w["mean_v"]) < 1e-9
+        assert abs(g["std_v"] - w["std_v"]) < 1e-9
