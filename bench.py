@@ -293,7 +293,7 @@ def _median(xs):
 
 
 def run_scaling(sf_dir: str, n: int = 2, reps: int = 3,
-                pin: bool = True) -> dict:
+                pin: bool = True, cooldown: int = 150) -> dict:
     """Scaling-efficiency evidence (BASELINE.json north rule): the SAME
     flagship as-of backfill at local[n] and local[4n], fresh JVM each,
     sequential (never concurrent — contention invalidates the ratio).
@@ -315,6 +315,15 @@ def run_scaling(sf_dir: str, n: int = 2, reps: int = 3,
     rows_out = None
     for rep in range(reps):
         for cpus in (n, 4 * n):
+            # fixed idle cool-down before EVERY timed leg: on this
+            # host a leg started immediately after a long saturating
+            # run measures ~25% slower than the identical leg after
+            # idle (hypervisor burst budget / thermal state). The
+            # protocol interleaves legs, so without the cool-down the
+            # 4N leg — always following the long N leg — is
+            # systematically punished; a fixed pre-leg idle gives
+            # both legs the same host state.
+            time.sleep(cooldown)
             env = dict(os.environ)
             env["SPARK_GRAFT_SF_DIR"] = sf_dir
             env["SPARK_GRAFT_CPUS"] = str(cpus)
@@ -366,6 +375,7 @@ def run_scaling(sf_dir: str, n: int = 2, reps: int = 3,
         "n_cores": n,
         "reps": reps,
         "pinned": pin,
+        "cooldown_s": cooldown,
         "t_n_sec": times[n],
         "t_4n_sec": times[4 * n],
         "t_n_median": med_n,
@@ -388,7 +398,9 @@ if __name__ == "__main__":
         # executors, so the knee is a property of the PROXY, not the
         # engine). 2->8 numbers are reported alongside in BASELINE.md.
         n = int(os.environ.get("SPARK_GRAFT_SCALING_N", "1"))
-        print(json.dumps(run_scaling(SF_DIR, n=n, reps=reps, pin=pin)))
+        cd = int(os.environ.get("SPARK_GRAFT_SCALING_COOLDOWN", "150"))
+        print(json.dumps(run_scaling(SF_DIR, n=n, reps=reps, pin=pin,
+                                     cooldown=cd)))
     elif "--single" in sys.argv:
         idx = sys.argv.index("--single")
         names = sys.argv[idx + 1].split(",") if len(sys.argv) > idx + 1 else None
