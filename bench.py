@@ -351,8 +351,10 @@ def run_scaling(sf_dir: str, n: int = 2, reps: int = 3,
             # doesn't get, an asymmetry no real cluster pair has.
             env.setdefault("SPARK_DRIVER_MEM", f"{2 * cpus}g")
             env.setdefault("SPARK_GRAFT_SHUFFLE", str(4 * cpus))
+            qname = os.environ.get("SPARK_GRAFT_SCALING_QUERY",
+                                   "backfill_seq")
             cmd = [sys.executable, os.path.abspath(__file__), "--single",
-                   "backfill_seq"]
+                   qname]
             if pin:
                 cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
             r = subprocess.run(cmd, capture_output=True, text=True,
@@ -360,8 +362,8 @@ def run_scaling(sf_dir: str, n: int = 2, reps: int = 3,
             line = [l for l in r.stdout.splitlines()
                     if l.startswith("{")][-1]
             parsed = json.loads(line)
-            times[cpus].append(parsed["queries"]["backfill_seq"])
-            rows_out = parsed["rows"]["backfill_seq"]
+            times[cpus].append(parsed["queries"][qname])
+            rows_out = parsed["rows"][qname]
             print(json.dumps({"rep": rep + 1, "cores": cpus,
                               "sec": times[cpus][-1]}), file=sys.stderr)
     med_n, med_4n = _median(times[n]), _median(times[4 * n])
