@@ -872,6 +872,34 @@ def q_ivf_topk(spark, sf_dir):
     return _r4(out.select("query_id", "vec_id", "score", "rank"), ["score"])
 
 
+def q_ewm_global(spark, sf_dir):
+    """GLOBAL exponential_weighted_average (no entity partition) —
+    executes through ewm.ewm_global's two-pass segmented prefix scan
+    across range partitions (the r3 scale path that replaced the
+    single-group pandas collapse). Subset to 3k rows so the DuckDB
+    prefix-fold oracle stays O(n*k)."""
+    from featuretools_spark.primitives.transform import (
+        ExponentialWeightedAverage,
+    )
+
+    from featuretools_spark.features import TransformFeature
+
+    es = _es_events(spark, sf_dir)
+    ev = es["events"].filter(F.col("event_id") < 3000)
+    es2 = fts.EntitySet("ewmg")
+    es2.add_dataframe("events", ev, index="event_id", time_index="ts")
+    v = IdentityFeature(es2, "events", "value")
+    ewm = TransformFeature(ExponentialWeightedAverage(com=0.5), [v])
+    fm = fts.calculate_feature_matrix(
+        [ewm], es2, cutoff_time=dt.datetime(2024, 3, 1)
+    )
+    out = fm.select(
+        F.col("event_id"),
+        (_q(ewm.get_name()) / 100.0).alias("ewm_v"),
+    )
+    return _r4e(out, ["ewm_v"])
+
+
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing through the driver surface: documents'
     text bytes as an opaque binary payload -> Arrow-batched
@@ -952,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup": q_embedding_dedup,
         "ivf_topk": q_ivf_topk,
         "multimodal_features": q_multimodal_features,
+        "ewm_global": q_ewm_global,
         "holistic_wide": q_holistic_wide,
         "groupby_trans_agg": q_groupby_trans_agg,
     }
@@ -1459,6 +1488,27 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, {_R('score')} AS score, rank
             FROM r WHERE rank <= 5
+        """,
+        "ewm_global": f"""
+            -- pandas ewm(adjust=True, com=0.5) over the GLOBAL
+            -- (ts, event_id) ordering: explicit weighted prefix sum
+            WITH ec AS (SELECT * FROM {_EC} WHERE event_id < 3000),
+            p AS (
+                SELECT event_id,
+                       row_number() OVER w AS rn,
+                       list(value::DOUBLE) OVER (
+                           ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS vals
+                FROM ec
+                WINDOW w AS (ORDER BY ts, event_id)
+            )
+            SELECT event_id,
+                   floor((list_sum(list_transform(vals,
+                              (x,i) -> x * power(1.0/3, rn - i)))
+                          / list_sum(list_transform(vals,
+                              (x,i) -> power(1.0/3, rn - i))))/100.0
+                         * 1e4 + 0.5 + 1e-6) / 1e4 AS ewm_v
+            FROM p
         """,
         "embedding_dedup": f"""
             WITH e AS (
