@@ -39,6 +39,9 @@ HEADLINE = [
     "backfill_skew",     # flagship input with one hot entity (~10% of rows)
     "backfill_skew_sm",  # hot-key input through the unsalted kernel
     "backfill_skew_sm_salted",  # ... with explicit salting (salt=8)
+    "backfill_dense",    # 64 cutoffs/entity through the join path
+    "backfill_dense_sm", # ... through the kernel (its win case:
+                         # O(events+cutoffs) vs |events| x |cutoffs|)
     "holistic_wide",     # 6 holistic prims at per-row cutoffs, batched
                          # (r3: one flag-pass join + one shared counts
                          # subplan instead of one join per primitive)
@@ -149,17 +152,34 @@ def _backfill_queries(sf: float):
         _cache["skew_df"], _cache["skew_cuts"] = df, cuts
         return df, cuts
 
+    def _dense_cutoffs(spark):
+        """64 cutoffs per entity: the dense-backfill shape where the
+        kernel's O(events + cutoffs) sweep should beat the join's
+        |events| x |cutoffs| row expansion."""
+        if "dense_cuts" not in _cache:
+            path = f"/tmp/ft_bench_densecuts_{n_rows}_{max_tok}"
+            try:
+                cuts = spark.read.parquet(path)
+            except Exception:
+                make_cutoffs(spark, _materialized(spark), per_entity=64) \
+                    .write.mode("overwrite").parquet(path)
+                cuts = spark.read.parquet(path)
+            _cache["dense_cuts"] = cuts
+        return _cache["dense_cuts"]
+
     def prepare(spark, names=None):
         _materialized(spark)
         _cutoffs(spark)
         _entities(spark)
         if names is None or any("skew" in n for n in names):
             _skewed(spark)
+        if names is None or any("dense" in n for n in names):
+            _dense_cutoffs(spark)
 
     def run(spark, strategy, seqs=None, cuts=None, salt=None):
         if seqs is None:
             seqs = _materialized(spark)
-            cuts = _cutoffs(spark)
+            cuts = _cutoffs(spark) if cuts is None else cuts
             ents = _entities(spark)
         else:
             ents = make_entities(seqs)
@@ -203,9 +223,15 @@ def _backfill_queries(sf: float):
         seqs, cuts = _skewed(spark)
         return run(spark, strategy, seqs=seqs, cuts=cuts, salt=salt)
 
+    def run_dense(spark, strategy):
+        return run(spark, strategy, cuts=_dense_cutoffs(spark))
+
     return {
         "backfill_seq": lambda spark, sf_dir: run(spark, "join"),
         "backfill_seq_sm": lambda spark, sf_dir: run(spark, "sortmerge"),
+        "backfill_dense": lambda spark, sf_dir: run_dense(spark, "join"),
+        "backfill_dense_sm":
+            lambda spark, sf_dir: run_dense(spark, "sortmerge"),
         "backfill_skew": lambda spark, sf_dir: run_skew(spark),
         "backfill_skew_sm": lambda spark, sf_dir: run_skew(spark, "sortmerge"),
         "backfill_skew_sm_salted":

@@ -80,23 +80,31 @@ def make_cutoffs(
         F.max("event_time").alias("t1"),
         F.max_by("event_time", "doc_id").alias("t_exact"),
     )
+    base = F.array(
+        (F.col("t0") - F.expr("INTERVAL 1 DAY")).alias("c"),
+        F.timestamp_micros(
+            ((F.unix_micros("t0") + F.unix_micros("t1")) / 2)
+            .cast("long")
+        ),
+        F.col("t_exact"),
+        F.col("t1") + F.expr("INTERVAL 1 HOUR"),
+    )
+    if per_entity > 4:
+        # dense mode: the 4 shape-exercising cutoffs plus per_entity-4
+        # points evenly spaced over the entity's event span
+        u0, u1 = F.unix_micros("t0"), F.unix_micros("t1")
+        k = per_entity - 4
+        extras = F.transform(
+            F.sequence(F.lit(1), F.lit(k)),
+            lambda i: F.timestamp_micros(
+                (u0 + (u1 - u0) * i.cast("long") / F.lit(k + 1))
+                .cast("long")
+            ),
+        )
+        base = F.concat(base, extras)
     cuts = stats.select(
         "entity_id",
-        F.explode(
-            F.slice(
-                F.array(
-                    (F.col("t0") - F.expr("INTERVAL 1 DAY")).alias("c"),
-                    F.timestamp_micros(
-                        ((F.unix_micros("t0") + F.unix_micros("t1")) / 2)
-                        .cast("long")
-                    ),
-                    F.col("t_exact"),
-                    F.col("t1") + F.expr("INTERVAL 1 HOUR"),
-                ),
-                1,
-                per_entity,
-            )
-        ).alias("time"),
+        F.explode(F.slice(base, 1, per_entity)).alias("time"),
     )
     return cuts.withColumn(
         "label",
