@@ -1377,7 +1377,11 @@ def oracle_sql() -> dict[str, str]:
                    floor((list_sum(list_transform(vals,
                               (x,i) -> x * power(1.0/3, rn - i)))
                           / list_sum(list_transform(vals,
-                              (x,i) -> power(1.0/3, rn - i))))/100.0
+                              -- pandas ignore_na=False: NULL rows
+                              -- decay the weights but add no weight
+                              (x,i) -> CASE WHEN x IS NULL THEN NULL
+                                       ELSE power(1.0/3, rn - i)
+                                       END)))/100.0
                          * 1e4 + 0.5 + 1e-6) / 1e4 AS ewm_v
             FROM p
         """,
@@ -1506,7 +1510,11 @@ def oracle_sql() -> dict[str, str]:
                    floor((list_sum(list_transform(vals,
                               (x,i) -> x * power(1.0/3, rn - i)))
                           / list_sum(list_transform(vals,
-                              (x,i) -> power(1.0/3, rn - i))))/100.0
+                              -- pandas ignore_na=False: NULL rows
+                              -- decay the weights but add no weight
+                              (x,i) -> CASE WHEN x IS NULL THEN NULL
+                                       ELSE power(1.0/3, rn - i)
+                                       END)))/100.0
                          * 1e4 + 0.5 + 1e-6) / 1e4 AS ewm_v
             FROM p
         """,
@@ -1663,8 +1671,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey,
                    cnt,
                    sp / 100.0 AS sum_p,
-                   sum(cnt) OVER (PARTITION BY c_nationkey
-                                  ORDER BY c_custkey) AS cum_cnt,
+                   CAST(sum(cnt) OVER (PARTITION BY c_nationkey
+                                       ORDER BY c_custkey)
+                        AS BIGINT) AS cum_cnt,
                    max(sp) OVER (PARTITION BY c_nationkey
                                  ORDER BY c_custkey) / 100.0 AS cum_max_p
             FROM a

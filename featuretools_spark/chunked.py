@@ -44,7 +44,9 @@ def bounded_window_global(
         df.repartitionByRange(nparts, *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)
         .withColumn("__bw_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)   # pin pid assignment across passes
+        # Eager: pin pid assignment across passes; lineage truncation
+        # means executor loss fails loudly, never re-samples pids.
+        .localCheckpoint(eager=True)
     )
 
     # ---- pass 1: boundary rows per partition (head `after`, tail

@@ -74,11 +74,11 @@ _STATE = ("d", "n", "m", "w2", "decay", "decay2")
 
 
 def _scan_chunk(x: np.ndarray, alpha: float, ignore_na: bool,
-                carry: tuple[float, float, float, float]):
+                carry: tuple[float, float, float, float, float]):
     """Run the EWM recurrence over one sorted chunk.
 
     Returns (D, N, M, W2) arrays aligned with x, plus the chunk's
-    decay products (for D/N/M and for W2).  carry = (d, n, m, w2)
+    decay products (for D/N/M and for W2).  carry = (d, n, m, w2, cnt)
     entering the chunk (already decayed up to the chunk's first row,
     i.e. pass 2 multiplies the raw carry by the first row's decay
     inside the loop below — we fold the carry in as the scan's
@@ -200,8 +200,12 @@ def ewm_global(
         .withColumn("__ewm_pid", F.spark_partition_id())
     )
     # range partitioner can emit fewer/empty partitions; pids are the
-    # partition ids actually present, in range order.
-    ordered = ordered.localCheckpoint(eager=False)
+    # partition ids actually present, in range order.  Eager checkpoint
+    # pins pid assignment across the two passes; localCheckpoint
+    # truncates lineage, so a lost executor block fails the job loudly
+    # instead of recomputing with a (possibly different) range sample
+    # and silently mis-keying the carries.
+    ordered = ordered.localCheckpoint(eager=True)
 
     # ---- pass 1: per-partition end states ------------------------------
     sum_schema = T.StructType([
@@ -264,7 +268,7 @@ def ewm_global(
         pdf = pdf.sort_values(order_cols, kind="stable")
         x = pdf[in_col].to_numpy(dtype=np.float64, na_value=np.nan)
         carry = bc.value.get(int(pdf["__ewm_pid"].iloc[0]),
-                             (0.0, 0.0, 0.0, 0.0))
+                             (0.0, 0.0, 0.0, 0.0, 0.0))
         D, N, M, W2, CNT, _, _ = _scan_chunk(x, a, ignore_na, carry)
         pdf[out_col] = _finalize(kind, D, N, M, W2, CNT)
         return pdf[keep + [out_col]]

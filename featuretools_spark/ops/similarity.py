@@ -11,6 +11,8 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -185,6 +187,32 @@ def lsh_topk(
     )
 
 
+def _probe_udf(spark, centroids, n_probe):
+    """Arrow-vectorized nearest-centroid probe: the centroid matrix is
+    a spark broadcast (n_clusters x dim doubles — NOT plan literals,
+    so plan size is O(1) regardless of n_clusters/dim), and each Arrow
+    batch computes all squared L2 distances with one matrix multiply.
+    Ties break toward the lower cid (stable argsort), matching the
+    previous Catalyst array_sort((d, cid)) semantics."""
+    C = np.asarray(centroids, dtype=np.float64)          # (k, dim)
+    cn = (C * C).sum(axis=1)
+    n = min(n_probe, C.shape[0])
+    bc = spark.sparkContext.broadcast((C, cn))
+
+    @F.pandas_udf("array<int>")
+    def probes(vs: pd.Series) -> pd.Series:
+        Cv, cnv = bc.value
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in vs.to_numpy()])           # (b, dim)
+        d2 = (M * M).sum(axis=1)[:, None] - 2.0 * (M @ Cv.T) + cnv[None, :]
+        idx = np.argsort(d2, axis=1, kind="stable")[:, :n].astype("int32")
+        return pd.Series(list(idx))
+
+    return probes
+
+
 def kmeans_centroids(
     corpus: DataFrame,
     vec_col: str,
@@ -192,17 +220,19 @@ def kmeans_centroids(
     max_iter: int = 5,
     seed: int = 42,
 ) -> list:
-    """Deterministic Lloyd's k-means over an embedding column, all in
-    DataFrame ops — the IVF coarse quantizer.
+    """Deterministic Lloyd's k-means over an embedding column — the
+    IVF coarse quantizer.
 
     Init: the n_clusters rows with the smallest xxhash64(vec, seed)
     (a deterministic uniform sample — no RNG state, reproducible
-    across runs/executors). Each iteration: broadcast centroids,
-    assign each row to its nearest centroid by squared L2 (one
-    argmin over a literal array of centroid structs), recompute
-    centroids with posexplode + groupBy(cluster, pos) avg — a
-    map-side-combinable shuffle of dim doubles per row. Returns the
-    centroid list (driver-side: n_clusters x dim floats).
+    across runs/executors). Each iteration: broadcast the centroid
+    matrix and assign each row to its nearest centroid with the
+    Arrow-vectorized probe UDF (one numpy matmul per batch — no
+    literal centroid arrays in the plan, so n_clusters x dim can grow
+    without codegen/planning blowup), then recompute centroids with
+    posexplode + groupBy(cluster, pos) avg — a map-side-combinable
+    shuffle of dim doubles per row. Returns the centroid list
+    (driver-side: n_clusters x dim floats).
     """
     ranked = corpus.select(
         F.col(vec_col).alias("v"),
@@ -213,31 +243,10 @@ def kmeans_centroids(
         [float(x) for x in r["v"]] for r in ranked.collect()
     ]
     base = corpus.select(F.col(vec_col).alias("v"))
+    spark = corpus.sparkSession
     for _ in range(max_iter):
-        carr = F.array(*[
-            F.struct(
-                F.lit(i).alias("cid"),
-                F.array(*[F.lit(x) for x in c]).alias("cv"),
-            )
-            for i, c in enumerate(cents)
-        ])
-        # nearest centroid: fold over the centroid array keeping the
-        # (cid, dist) pair with the smaller squared distance
-        def _d2(cv):
-            return F.aggregate(
-                F.zip_with(F.col("v"), cv,
-                           lambda a, b: (a.cast("double") - b)
-                           * (a.cast("double") - b)),
-                F.lit(0.0), lambda acc, x: acc + x,
-            )
-
-        assigned = base.withColumn(
-            "__best",
-            F.array_sort(F.transform(
-                carr, lambda c: F.struct(_d2(c["cv"]).alias("d"),
-                                         c["cid"].alias("cid"))
-            ))[0]["cid"],
-        )
+        assign = _probe_udf(spark, cents, 1)
+        assigned = base.withColumn("__best", assign(F.col("v"))[0])
         new = (
             assigned.select("__best", F.posexplode("v").alias("pos", "x"))
             .groupBy("__best", "pos")
@@ -281,36 +290,17 @@ def ivf_topk(
     if centroids is None:
         centroids = kmeans_centroids(corpus, vec_col, n_clusters,
                                      max_iter, seed)
-    carr = F.array(*[
-        F.struct(F.lit(i).alias("cid"),
-                 F.array(*[F.lit(x) for x in c]).alias("cv"))
-        for i, c in enumerate(centroids)
-    ])
-
-    def _d2(vcol, cv):
-        return F.aggregate(
-            F.zip_with(vcol, cv, lambda a, b: (a.cast("double") - b)
-                       * (a.cast("double") - b)),
-            F.lit(0.0), lambda acc, x: acc + x,
-        )
-
-    def probes(vcol, n):
-        """n nearest centroid ids: sort (d, cid) structs — each
-        distance evaluated once (min-fold with when() would evaluate
-        _d2 twice per comparison)."""
-        ds = F.transform(
-            carr, lambda c: F.struct(_d2(vcol, c["cv"]).alias("d"),
-                                     c["cid"].alias("cid")))
-        return F.transform(F.slice(F.array_sort(ds), 1, n),
-                           lambda s: s["cid"])
+    spark = corpus.sparkSession
+    assign1 = _probe_udf(spark, centroids, 1)
+    assignN = _probe_udf(spark, centroids, n_probe)
 
     labeled = corpus.withColumn(
-        "__list", probes(F.col(vec_col), 1)[0])
+        "__list", assign1(F.col(vec_col))[0])
 
     q = queries.select(
         F.col(query_id_col).alias("__qid"),
         F.col(query_vec_col).alias("__qv"),
-    ).withColumn("__list", F.explode(probes(F.col("__qv"), n_probe)))
+    ).withColumn("__list", F.explode(assignN(F.col("__qv"))))
     cand = labeled.join(F.broadcast(q), on="__list")
     scored = cand.select(
         F.col("__qid").alias(query_id_col),

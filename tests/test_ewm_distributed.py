@@ -81,3 +81,23 @@ def test_ewm_global_tiny_alpha_long_run(spark):
     )
     exp = _pandas_ewm(pdf["x"], "mean", alpha=1e-4)
     assert np.allclose(out["y"].to_numpy(), exp, atol=1e-9, rtol=1e-6)
+
+
+def test_missing_pid_carry_default_is_valid_five_tuple():
+    """ADVICE r3: finalize's zero-carry default (used when a pid is
+    absent from the broadcast carries) must be a 5-tuple that
+    reproduces a from-scratch scan — 4 elements raised ValueError in
+    the executor."""
+    import inspect
+
+    import featuretools_spark.ewm as ewm_mod
+
+    x = np.array([1.0, np.nan, 3.0, 2.0])
+    default = (0.0, 0.0, 0.0, 0.0, 0.0)
+    D, N, M, W2, CNT, _, _ = _scan_chunk(x, 0.4, False, default)
+    exp = pd.Series(x).ewm(alpha=0.4).mean().to_numpy()
+    assert np.allclose(_finalize("mean", D, N, M, W2, CNT), exp,
+                       equal_nan=True)
+    # the in-source default literal is the 5-element one
+    src = inspect.getsource(ewm_mod.ewm_global)
+    assert "(0.0, 0.0, 0.0, 0.0, 0.0)" in src
