@@ -334,6 +334,38 @@ def q_groupby_trans_agg(spark, sf_dir):
     return _scale(out, ["sum_p", "cum_max_p"])
 
 
+def q_ewm_of_agg(spark, sf_dir):
+    """Pandas-kernel transform OF an aggregation output, computed ON
+    the matrix (reference feature_set_calculator.py:526-592):
+    EWM_AVERAGE(SUM(orders.o_totalprice)) grouped by c_nationkey in
+    (cutoff, c_custkey) matrix order — the round-3 NotImplementedError
+    at cfm.py matrix_trans is lifted; grouped kernels run applyInPandas
+    per group, global ones via the distributed EWM scan."""
+    from featuretools_spark.features import GroupByTransformFeature
+    from featuretools_spark.primitives.transform import (
+        ExponentialWeightedAverage,
+    )
+
+    es = _es_tpch(spark, sf_dir)
+    price = IdentityFeature(es, "orders", "o_totalprice")
+    tot = AggregationFeature(price, "customer", "sum", es=es)
+    nat = IdentityFeature(es, "customer", "c_nationkey")
+    g = GroupByTransformFeature(
+        ExponentialWeightedAverage(com=0.5), [tot], groupby=nat)
+    fm = fts.calculate_feature_matrix([tot, g], es, cutoff_time=TPCH_CUTOFF)
+    out = fm.select(
+        F.col("c_custkey"),
+        (_q(tot.get_name()) / 100.0).alias("sum_p"),
+        # scale to ~1e2 magnitude (thousands of dollars) so the
+        # round-4 epsilon shift dominates the recurrence-vs-weighted-
+        # sum fp gap (same regime as the green ewm_by_user oracle)
+        (_q(g.get_name()) / 100000.0).alias("ewm_k"),
+    )
+    return out.withColumn(
+        "ewm_k", F.floor(F.col("ewm_k") * 1e4 + 0.5 + 1e-6) / 1e4
+    )
+
+
 def q_trend(spark, sf_dir):
     """reference calculate_trend semantics: dropna pairs, NaN for
     n<=2, 0 when all x equal, slope scaled by the unit dividend of the
@@ -983,6 +1015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewm_global": q_ewm_global,
         "holistic_wide": q_holistic_wide,
         "groupby_trans_agg": q_groupby_trans_agg,
+        "ewm_of_agg": q_ewm_of_agg,
     }
 
 
@@ -1656,6 +1689,35 @@ def oracle_sql() -> dict[str, str]:
             FROM cu
             LEFT JOIN agg ON agg.user_id = cu.user_id AND agg.ct = cu.ct
             LEFT JOIN fl ON fl.user_id = cu.user_id AND fl.ct = cu.ct
+        """,
+        "ewm_of_agg": f"""
+            WITH a AS (
+                SELECT c.c_custkey, c.c_nationkey,
+                       coalesce(sum(CAST(floor(o.o_totalprice*100 + 0.5)
+                                         AS BIGINT)), 0) AS sp
+                FROM customer c
+                LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                                  AND o.o_orderdate <= {_TP}
+                GROUP BY c.c_custkey, c.c_nationkey
+            ), p AS (
+                SELECT c_custkey, sp,
+                       row_number() OVER w AS rn,
+                       list(sp::DOUBLE) OVER (
+                           PARTITION BY c_nationkey ORDER BY c_custkey
+                           ROWS UNBOUNDED PRECEDING) AS vals
+                FROM a
+                WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey)
+            )
+            SELECT c_custkey,
+                   sp / 100.0 AS sum_p,
+                   floor((list_sum(list_transform(vals,
+                              (x,i) -> x * power(1.0/3, rn - i)))
+                          / list_sum(list_transform(vals,
+                              (x,i) -> CASE WHEN x IS NULL THEN NULL
+                                       ELSE power(1.0/3, rn - i)
+                                       END)))/100000.0
+                         * 1e4 + 0.5 + 1e-6) / 1e4 AS ewm_k
+            FROM p
         """,
         "groupby_trans_agg": f"""
             WITH a AS (

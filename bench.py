@@ -253,8 +253,18 @@ def run_once(sf_dir: str, cpus: int, queries=None) -> dict:
     from featuretools_spark.session import get_spark
 
     shuf = int(os.environ.get("SPARK_GRAFT_SHUFFLE", 0)) or max(cpus, 8)
+    # SPARK_GRAFT_MASTER overrides the master: the scaling harness
+    # passes local-cluster[N,1,mem] so each "executor" is a separate
+    # JVM with its own fixed heap — the closest single-box proxy to
+    # the north rule's N-vs-4N executor criterion
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    extra = {}
+    if master.startswith("local-cluster"):
+        os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+        extra["spark.executor.memory"] = os.environ.get(
+            "SPARK_EXEC_MEM", "3g")
     spark = get_spark(
-        "bench", master=f"local[{cpus}]", shuffle_partitions=shuf
+        "bench", master=master, shuffle_partitions=shuf, extra_conf=extra
     )
     sf = _sf_label(sf_dir)
     qs = dict(entrymod.queries())
@@ -319,7 +329,8 @@ def _median(xs):
 
 
 def run_scaling(sf_dir: str, n: int = 2, reps: int = 3,
-                pin: bool = True, cooldown: int = 150) -> dict:
+                pin: bool = True, cooldown: int = 150,
+                mode: str = "local") -> dict:
     """Scaling-efficiency evidence (BASELINE.json north rule): the SAME
     flagship as-of backfill at local[n] and local[4n], fresh JVM each,
     sequential (never concurrent — contention invalidates the ratio).
@@ -375,14 +386,30 @@ def run_scaling(sf_dir: str, n: int = 2, reps: int = 3,
             # BOTH legs) — a single equal partition count would give
             # the small leg multi-wave straggler smoothing the big leg
             # doesn't get, an asymmetry no real cluster pair has.
-            env.setdefault("SPARK_DRIVER_MEM", f"{2 * cpus}g")
             env.setdefault("SPARK_GRAFT_SHUFFLE", str(4 * cpus))
             qname = os.environ.get("SPARK_GRAFT_SCALING_QUERY",
                                    "backfill_seq")
             cmd = [sys.executable, os.path.abspath(__file__), "--single",
                    qname]
-            if pin:
-                cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+            if mode == "cluster":
+                # VERDICT r3 #4: local-cluster[c,1,mem] — one separate
+                # executor JVM per core, each with the SAME fixed heap
+                # in both legs ("each executor brings its own
+                # resources"), a fixed-size driver in both legs, and
+                # the process tree pinned to c executor cores + 2
+                # driver cores. Models the N-vs-4N executor criterion
+                # far closer than local[N] threads sharing one JVM:
+                # separate heaps/GC, real netty shuffle between
+                # executor processes, per-executor task scheduling.
+                env.setdefault("SPARK_DRIVER_MEM", "4g")
+                env.setdefault("SPARK_EXEC_MEM", "3g")
+                env["SPARK_GRAFT_MASTER"] = f"local-cluster[{cpus},1,4096]"
+                if pin:
+                    cmd = ["taskset", "-c", f"0-{cpus + 1}"] + cmd
+            else:
+                env.setdefault("SPARK_DRIVER_MEM", f"{2 * cpus}g")
+                if pin:
+                    cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
             r = subprocess.run(cmd, capture_output=True, text=True,
                                env=env, timeout=3600)
             line = [l for l in r.stdout.splitlines()
@@ -400,6 +427,7 @@ def run_scaling(sf_dir: str, n: int = 2, reps: int = 3,
         "metric": "scaling_efficiency",
         "value": round((med_n / med_4n) / 4.0, 3),   # median pairing
         "unit": "ratio",
+        "mode": mode,
         "n_cores": n,
         "reps": reps,
         "pinned": pin,
@@ -427,8 +455,9 @@ if __name__ == "__main__":
         # engine). 2->8 numbers are reported alongside in BASELINE.md.
         n = int(os.environ.get("SPARK_GRAFT_SCALING_N", "1"))
         cd = int(os.environ.get("SPARK_GRAFT_SCALING_COOLDOWN", "150"))
+        mode = os.environ.get("SPARK_GRAFT_SCALING_MODE", "local")
         print(json.dumps(run_scaling(SF_DIR, n=n, reps=reps, pin=pin,
-                                     cooldown=cd)))
+                                     cooldown=cd, mode=mode)))
     elif "--single" in sys.argv:
         idx = sys.argv.index("--single")
         names = sys.argv[idx + 1].split(",") if len(sys.argv) > idx + 1 else None

@@ -345,7 +345,7 @@ def _asof_join(child, key_col, time_col, cutoffs, instance_col, specs,
     joined = cut.join(ev, cond, "left")
 
     def spec_mask(s):
-        m = F.col(f"__ev.{s.where_col}") if s.where_col else None
+        m = evc(s.where_col) if s.where_col else None
         if s.sec_time_col:
             # secondary-time-index mask (reference
             # entityset.py:1450-1455): values are NULL until their
@@ -401,7 +401,7 @@ def _asof_join(child, key_col, time_col, cutoffs, instance_col, specs,
                     joined = joined.withColumn(cname, cexpr)
                 aggs.append(F.when(guard, agg).alias(s.out_name))
         for s in expr_specs:
-            where = F.col(f"__ev.{s.where_col}") if s.where_col else None
+            where = evc(s.where_col) if s.where_col else None
             if s.sec_time_col:
                 mask = F.col(f"__ev.{s.sec_time_col}") < F.col(
                     f"__cut.{cutoff_col}"
@@ -484,7 +484,7 @@ def _asof_join(child, key_col, time_col, cutoffs, instance_col, specs,
         # (last-N per reference is applied BEFORE the where filter)
         inner = joined.filter(F.col(f"__ev.{key_col}").isNotNull())
         if s.where_col:
-            inner = inner.filter(F.col(f"__ev.{s.where_col}"))
+            inner = inner.filter(evc(s.where_col))
         sec_mask = (
             F.col(f"__ev.{s.sec_time_col}") < F.col(f"__cut.{cutoff_col}")
             if s.sec_time_col else None
@@ -556,6 +556,12 @@ def _split_kernel_specs(child, time_col, specs):
             s.primitive.name in _KERNEL_PRIMS
             and s.primitive.strategy == "expr"
             and s.sec_time_col is None
+            # aux-resident columns (stacked inputs / agg-dep where
+            # clauses at per-row cutoffs) only exist after the cutoff
+            # join — the kernel reads the child frame, so route to join
+            and not any(c.startswith("__aux_")
+                        for c in (*s.input_cols,
+                                  *( [s.where_col] if s.where_col else [] )))
             # percent_true's denominator is EVERY window row (nulls
             # count as False); under a where mask it must count only
             # mask-selected rows — join path handles that

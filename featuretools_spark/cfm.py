@@ -330,7 +330,14 @@ def _calculate_feature_matrix(
             stacked = []
             seen_stk = set()
             for f in feats:
-                for b in f.base_features:
+                cands = list(f.base_features)
+                if f.where is not None:
+                    # where clauses over agg outputs (depth>=3
+                    # conditional aggs, e.g. COUNT(orders WHERE
+                    # SUM(lineitem.qty) > 5)) ride the aux matrix the
+                    # same way stacked bases do
+                    cands.append(f.where)
+                for b in cands:
                     # hoist bare agg/direct inputs AND transforms that
                     # contain one (depth>=3: MEAN(orders.ABS(SUM(...))))
                     # — the recursive per-row sub-matrix computes
@@ -381,7 +388,7 @@ def _calculate_feature_matrix(
             for b in f.base_features:
                 if b.get_name() not in aux_cols:
                     base_list.append(b)
-            if f.where is not None:
+            if f.where is not None and f.where.get_name() not in aux_cols:
                 base_list.append(f.where)
         child_df, mat_cols = _materialize_features(
             es, feats[0].child_entity, child_df, base_list, time_col,
@@ -394,7 +401,11 @@ def _calculate_feature_matrix(
                 if b.get_name() in aux_cols else next(col_iter)
                 for b in f.base_features
             ]
-            where_col = next(col_iter) if f.where is not None else None
+            where_col = None
+            if f.where is not None:
+                wn = f.where.get_name()
+                where_col = (aux_cols[wn] if wn in aux_cols
+                             else next(col_iter))
             kinds = getattr(f.primitive, "input_kinds", ("numeric",))
             sec_time_col = _secondary_mask_col(es, f)
             if kinds == ():
@@ -595,9 +606,12 @@ def _calculate_feature_matrix(
         morder = [CUTOFF_COL, index_col]
         mctx = TransformContext(cutoff=F.col(CUTOFF_COL), order_cols=morder)
         done = set(internal) - mt_names
+        mt_cols: dict = {}  # feature name -> materialized matrix column
 
         def mcomp(f) -> Column:
             n = f.get_name()
+            if n in mt_cols:
+                return F.col(mt_cols[n])
             if n in internal and n in done:
                 return F.col(internal[n])
             if isinstance(f, IdentityFeature) and f.entity == target:
@@ -605,9 +619,9 @@ def _calculate_feature_matrix(
             if isinstance(f, TransformFeature):
                 prim = f.primitive
                 if getattr(prim, "strategy", "expr") == "pandas":
-                    raise NotImplementedError(
-                        "pandas-kernel transforms of aggregation outputs "
-                        "are not supported"
+                    raise AssertionError(
+                        f"pandas-kernel node {n!r} must be materialized "
+                        "by _mt_ensure before expr compilation"
                     )
                 if isinstance(f, GroupByTransformFeature):
                     local = TransformContext(
@@ -619,9 +633,59 @@ def _calculate_feature_matrix(
                 return prim.expr([mcomp(b) for b in f.base_features], mctx)
             raise ValueError(f"cannot compile {f!r} on the matrix")
 
+        def _mt_ensure(f):
+            """Materialize pandas-kernel transform nodes bottom-up so
+            mcomp only ever compiles expr nodes. Reference computes
+            these through the same full-frame path as any transform
+            (feature_set_calculator.py:526-592); here the agg inputs
+            are already per-(instance, cutoff) on the matrix, so a
+            grouped kernel is applyInPandas per groupby value and a
+            global kernel goes through the distributed EWM / halo /
+            capped-global machinery in _apply_pandas_transform."""
+            nonlocal matrix
+            global _MAT_COUNTER
+            n = f.get_name()
+            if n in mt_cols or (n in internal and n in done):
+                return
+            if isinstance(f, (AggregationFeature, DirectFeature)):
+                return  # hoisted as hidden features, already on matrix
+            for b in f.get_dependencies():
+                _mt_ensure(b)
+            prim = getattr(f, "primitive", None)
+            if prim is None or getattr(prim, "strategy", "expr") != "pandas":
+                return
+            base_cols = []
+            for b in f.base_features:
+                _MAT_COUNTER += 1
+                bname = f"_ft_m{_MAT_COUNTER}"
+                matrix = matrix.withColumn(
+                    bname, mcomp(b).cast("double"))
+                base_cols.append(bname)
+            part_cols = []
+            if isinstance(f, GroupByTransformFeature):
+                _MAT_COUNTER += 1
+                gname = f"_ft_m{_MAT_COUNTER}"
+                matrix = matrix.withColumn(gname, mcomp(f.groupby))
+                part_cols = [gname]
+            out_col = internal.get(n)
+            if out_col is None:
+                _MAT_COUNTER += 1
+                out_col = f"_ft_m{_MAT_COUNTER}"
+            matrix = _apply_pandas_transform(
+                matrix, prim, base_cols, out_col, morder, part_cols)
+            matrix = matrix.drop(*base_cols, *part_cols)
+            mt_cols[n] = out_col
+
         for f in matrix_trans:
-            matrix = matrix.withColumn(internal[f.get_name()], mcomp(f))
-            done.add(f.get_name())
+            _mt_ensure(f)
+            n = f.get_name()
+            if n in mt_cols:
+                if mt_cols[n] != internal[n]:
+                    matrix = matrix.withColumn(
+                        internal[n], F.col(mt_cols[n]))
+            else:
+                matrix = matrix.withColumn(internal[n], mcomp(f))
+            done.add(n)
         matrix = matrix.drop(*[f"_ft_mt_{c}" for c in sorted(ident_cols)])
 
     # ---- target-grain point-in-time mask ----

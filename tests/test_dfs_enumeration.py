@@ -424,3 +424,55 @@ def test_depth3_transform_of_agg_as_agg_input_per_row(spark, es):
                 else:
                     assert abs(float(x) - float(y)) < 1e-9, (
                         r["c_custkey"], t, want, have)
+
+
+def test_agg_dep_where_clause_per_row(spark, es):
+    """VERDICT r3 #3 residual: a WHERE clause that itself contains an
+    aggregation (COUNT(orders WHERE SUM(lineitem.qty) > 100)) at
+    PER-ROW cutoffs. The agg-dep where feature is hoisted into the
+    aux matrix (round-3 shape raised NotImplementedError in
+    _materialize_features). Ground truth: the scalar path."""
+    import datetime as dt
+
+    import featuretools_spark as fts
+    from featuretools_spark.features import (
+        AggregationFeature, IdentityFeature, TransformFeature,
+    )
+    from featuretools_spark.primitives.transform import GreaterThanScalar
+
+    qty = IdentityFeature(es, "lineitem", "l_quantity")
+    inner = AggregationFeature(qty, "orders", "sum", es=es)
+    cond = TransformFeature(GreaterThanScalar(value=100), [inner])
+    okey = IdentityFeature(es, "orders", "o_orderkey")
+    price = IdentityFeature(es, "orders", "o_totalprice")
+    feats = [
+        AggregationFeature(okey, "customer", "count", es=es, where=cond),
+        AggregationFeature(price, "customer", "mean", es=es, where=cond),
+    ]
+    cols = [f.get_name() for f in feats]
+    t1, t2 = dt.datetime(1995, 1, 1), dt.datetime(1997, 1, 1)
+    custs = [r[0] for r in
+             es["customer"].select("c_custkey").limit(30).collect()]
+    cuts = spark.createDataFrame(
+        [(c, t1 if i % 2 == 0 else t2) for i, c in enumerate(custs)],
+        "c_custkey long, time timestamp")
+    fm = fts.calculate_feature_matrix(feats, es, cutoff_time=cuts)
+    got = {(r["c_custkey"], r["time"]): tuple(r[c] for c in cols)
+           for r in fm.collect()}
+    assert len(got) == len(custs)
+    nonnull = 0
+    for t in (t1, t2):
+        ids = [c for i, c in enumerate(custs) if (i % 2 == 0) == (t == t1)]
+        ref = fts.calculate_feature_matrix(feats, es, cutoff_time=t,
+                                           instance_ids=ids)
+        for r in ref.collect():
+            want = tuple(r[c] for c in cols)
+            have = got[(r["c_custkey"], t)]
+            for x, y in zip(want, have):
+                if x is None or y is None:
+                    assert x == y, (r["c_custkey"], t, want, have)
+                else:
+                    nonnull += 1
+                    assert abs(float(x) - float(y)) < 1e-9, (
+                        r["c_custkey"], t, want, have)
+    assert nonnull > 0  # the where clause actually selects rows

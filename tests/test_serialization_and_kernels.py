@@ -109,3 +109,40 @@ def test_mixed_pandas_and_expr_transforms(spark, es):
     assert ewm_col in fm.columns and lag_col in fm.columns
     assert sum(r[ewm_col] is not None for r in rows) > 0
     assert sum(r[lag_col] is not None for r in rows) > 0
+
+
+def test_pandas_kernel_transform_of_agg_output(spark, es):
+    """VERDICT r3 #2: EWM (a pandas-kernel transform) OF an
+    aggregation output, both grouped and global, computed ON the
+    matrix (reference feature_set_calculator.py:526-592). Oracle:
+    collect the trusted agg matrix and run pandas ewm over it in
+    (cutoff, instance) order."""
+    from featuretools_spark.primitives.transform import (
+        ExponentialWeightedAverage,
+    )
+
+    val = IdentityFeature(es, "events", "value")
+    agg = AggregationFeature(val, "users", "sum", es=es)
+    # multiple cutoffs per user -> a real sequence per instance
+    users = [r["user_id"] for r in es["users"].select("user_id").collect()]
+    cuts = [(u, dt.datetime(2024, 1, d)) for u in users for d in (5, 12, 19)]
+    cdf = spark.createDataFrame(cuts, "user_id long, time timestamp")
+
+    uid = IdentityFeature(es, "users", "user_id")
+    g_glob = TransformFeature(ExponentialWeightedAverage(com=0.5), [agg])
+    g_grp = GroupByTransformFeature(
+        ExponentialWeightedAverage(com=0.5), [agg], groupby=uid)
+
+    fm = fts.calculate_feature_matrix([agg, g_glob, g_grp], es,
+                                      cutoff_time=cdf)
+    got = fm.toPandas().sort_values(["time", "user_id"]).reset_index(
+        drop=True)
+
+    base = got[agg.get_name()].astype(float)
+    exp_glob = base.ewm(com=0.5).mean()
+    exp_grp = base.groupby(got["user_id"]).transform(
+        lambda s: s.ewm(com=0.5).mean())
+    assert np.allclose(got[g_glob.get_name()].astype(float), exp_glob,
+                       equal_nan=True, atol=1e-9)
+    assert np.allclose(got[g_grp.get_name()].astype(float), exp_grp,
+                       equal_nan=True, atol=1e-9)
