@@ -880,11 +880,15 @@ def q_lsh_topk(spark, sf_dir):
 
 
 def q_fingerprint(spark, sf_dir):
-    """document fingerprints (xxhash64-based — rows-only check)."""
+    """Document fingerprints. Round 4: hash_fn="md5" — the SAME
+    normalization + k-gram winnowing structure as the xxhash64 scale
+    path, but with engine-agnostic hex hashes so DuckDB recomputes
+    every value (the xxhash64 path keeps its determinism/monotonicity
+    pytest gate)."""
     from featuretools_spark.ops.textstats import fingerprint
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return fingerprint(docs, "doc_id", "text")
+    return fingerprint(docs, "doc_id", "text", hash_fn="md5")
 
 
 def q_ivf_topk(spark, sf_dir):
@@ -935,10 +939,12 @@ def q_ewm_global(spark, sf_dir):
 def q_multimodal_features(spark, sf_dir):
     """Multimodal plumbing through the driver surface: documents'
     text bytes as an opaque binary payload -> Arrow-batched
-    mapInPandas decode/feature-extract (deterministic STUB codec —
-    the real image libs are not in this container, so the check is
-    rows-only; the plumbing itself is pytest-gated in
-    test_io_multimodal)."""
+    mapInPandas decode/feature-extract. Round 4: REAL oracle — the
+    checked columns (payload byte length + md5 computed INSIDE the
+    pandas batch) witness byte-exact Arrow pass-through and are
+    recomputable by any SQL engine; the PNG codec itself is real
+    (stdlib zlib) and pytest-gated, non-PNG embedding remains the
+    declared deterministic stub."""
     from featuretools_spark.ops.multimodal import image_features
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -947,12 +953,9 @@ def q_multimodal_features(spark, sf_dir):
         F.encode(F.col("text"), "UTF-8").alias("payload"),
     )
     out = image_features(media, payload_col="payload",
-                         id_col="media_id", n_features=8)
-    return out.select(
-        "media_id", "n_bytes",
-        F.round(F.aggregate("img_features", F.lit(0.0),
-                            lambda a, x: a + x), 4).alias("feat_sum"),
-    )
+                         id_col="media_id", n_features=8,
+                         hash_payload=True)
+    return out.select("media_id", "n_bytes", "payload_md5")
 
 
 def q_embedding_dedup(spark, sf_dir):
@@ -1689,6 +1692,32 @@ def oracle_sql() -> dict[str, str]:
             FROM cu
             LEFT JOIN agg ON agg.user_id = cu.user_id AND agg.ct = cu.ct
             LEFT JOIN fl ON fl.user_id = cu.user_id AND fl.ct = cu.ct
+        """,
+        "fingerprint": """
+            WITH t AS (
+                SELECT doc_id,
+                       trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                           AS tx
+                FROM documents
+            ), g AS (
+                SELECT doc_id, tx,
+                       list_transform(
+                           generate_series(1,
+                               greatest(length(tx) - 7, 1)),
+                           i -> md5(substr(tx, i, 8))) AS hs
+                FROM t
+            )
+            SELECT doc_id,
+                   md5(tx) AS exact_fp,
+                   list_aggregate(hs, 'min') AS min_gram_fp,
+                   list_aggregate(hs, 'max') AS max_gram_fp
+            FROM g
+        """,
+        "multimodal_features": """
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   md5(text) AS payload_md5
+            FROM documents
         """,
         "ewm_of_agg": f"""
             WITH a AS (

@@ -94,17 +94,32 @@ def quality_features(df: DataFrame, text_col: str) -> DataFrame:
 
 
 def fingerprint(df: DataFrame, id_col: str, text_col: str,
-                k: int = 8) -> DataFrame:
-    """Document fingerprint: xxhash64 of the normalized text (exact),
-    plus a winnowed min-hash of k-gram rolling hashes (robust)."""
+                k: int = 8, hash_fn: str = "xxhash64") -> DataFrame:
+    """Document fingerprint: hash of the normalized text (exact), plus
+    a winnowed min/max over k-gram rolling hashes (robust).
+
+    hash_fn="xxhash64" (default): bigint fingerprints — the scale
+    path (cheap JVM hash, 8-byte values through the shuffle).
+    hash_fn="md5": hex-string fingerprints with min/max taken
+    lexicographically — identical winnowing structure, but every
+    value is recomputable by any SQL engine (the driver's DuckDB
+    oracle checks this mode bit-for-bit)."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
     t = F.trim(norm)
     n = F.greatest(F.length(t) - (k - 1), F.lit(1))
     grams = F.transform(F.sequence(F.lit(1), n), lambda i: t.substr(i, F.lit(k)))
-    rolling = F.transform(grams, lambda g: F.xxhash64(g))
+    if hash_fn == "md5":
+        h = lambda c: F.md5(F.encode(c, "UTF-8"))  # noqa: E731
+    elif hash_fn == "xxhash64":
+        # *cols signature trips F.transform's callback introspection —
+        # wrap to a single-arg callable
+        h = lambda c: F.xxhash64(c)  # noqa: E731
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    rolling = F.transform(grams, h)
     return df.select(
         F.col(id_col),
-        F.xxhash64(t).alias("exact_fp"),
+        h(t).alias("exact_fp"),
         F.array_min(rolling).alias("min_gram_fp"),
         F.array_max(rolling).alias("max_gram_fp"),
     )
