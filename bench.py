@@ -287,19 +287,32 @@ def run_once(sf_dir: str, cpus: int, queries=None) -> dict:
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
-    secs, rows = {}, {}
+    # per-query reps (VERDICT r3 #9): this host swings individual
+    # queries 2-3x between runs, so single-shot per-query numbers make
+    # round-over-round deltas unattributable. Each rep rebuilds the
+    # DataFrame from the query fn — fresh RDD lineage, so Spark cannot
+    # reuse the previous rep's shuffle files and every rep pays the
+    # full plan. Reported: median per query + per-rep times.
+    qreps = int(os.environ.get("SPARK_GRAFT_BENCH_QREPS",
+                               "3" if queries is None else "1"))
+    secs, rows, reps_out = {}, {}, {}
     for name in names:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        # noop write forces EVERY column to materialize; the row count
-        # is read off the SAME execution via observe() — a separate
-        # count() would re-run the whole plan (shuffle reuse across
-        # actions is not guaranteed), doubling bench wall-clock
-        obs = Observation(f"rows_{name}")
-        df.observe(obs, F.count(F.lit(1)).alias("n")).write.format(
-            "noop").mode("overwrite").save()
-        secs[name] = round(time.time() - t0, 3)
-        rows[name] = obs.get["n"]
+        ts = []
+        for rep in range(qreps):
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            # noop write forces EVERY column to materialize; the row
+            # count is read off the SAME execution via observe() — a
+            # separate count() would re-run the whole plan (shuffle
+            # reuse across actions is not guaranteed), doubling
+            # bench wall-clock
+            obs = Observation(f"rows_{name}_{rep}")
+            df.observe(obs, F.count(F.lit(1)).alias("n")).write.format(
+                "noop").mode("overwrite").save()
+            ts.append(round(time.time() - t0, 3))
+            rows[name] = obs.get["n"]
+        secs[name] = round(_median(ts), 3)
+        reps_out[name] = ts
     total = round(sum(secs.values()), 3)
     # feature-rows/sec for the flagship as-of backfill: output rows ×
     # feature columns per second (the BASELINE.json metric)
@@ -319,6 +332,8 @@ def run_once(sf_dir: str, cpus: int, queries=None) -> dict:
         "cpus": cpus,
         "feature_rows_per_sec": frps,
         "flagship": flag,
+        "query_reps": reps_out,
+        "reps_per_query": qreps,
     }
 
 

@@ -242,7 +242,9 @@ def kmeans_centroids(
     cents = [
         [float(x) for x in r["v"]] for r in ranked.collect()
     ]
-    base = corpus.select(F.col(vec_col).alias("v"))
+    # one persisted projection feeds every Lloyd iteration — without
+    # it each iteration re-scans (and re-decodes) the source table
+    base = corpus.select(F.col(vec_col).alias("v")).persist()
     spark = corpus.sparkSession
     for _ in range(max_iter):
         assign = _probe_udf(spark, cents, 1)
@@ -259,6 +261,7 @@ def kmeans_centroids(
         )
         got = {r["__best"]: [float(x) for x in r["cv"]] for r in new}
         cents = [got.get(i, cents[i]) for i in range(len(cents))]
+    base.unpersist()
     return cents
 
 
