@@ -971,6 +971,25 @@ def q_embedding_dedup(spark, sf_dir):
     return _r4(out, ["cos"])
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER resolution (NEW r4): connected components over
+    the exact-cosine pair graph via iterative min-label propagation —
+    A~B, B~C collapse to one cluster even when A~C was never a pair.
+    Oracle: DuckDB recursive CTE over the same pairs."""
+    from featuretools_spark.ops.dedup import (
+        duplicate_clusters, embedding_near_duplicates,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = embedding_near_duplicates(
+        emb, "vec_id", "embedding", threshold=0.35, method="exact"
+    )
+    return duplicate_clusters(pairs).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dfs_depth1(spark, "/root/testdata/sf0.001")
@@ -1019,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holistic_wide": q_holistic_wide,
         "groupby_trans_agg": q_groupby_trans_agg,
         "ewm_of_agg": q_ewm_of_agg,
+        "dedup_clusters": q_dedup_clusters,
     }
 
 
@@ -1692,6 +1712,29 @@ def oracle_sql() -> dict[str, str]:
             FROM cu
             LEFT JOIN agg ON agg.user_id = cu.user_id AND agg.ct = cu.ct
             LEFT JOIN fl ON fl.user_id = cu.user_id AND fl.ct = cu.ct
+        """,
+        "dedup_clusters": """
+            WITH RECURSIVE p AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                      FROM embeddings) a
+                JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                      FROM embeddings) b
+                  ON a.vec_id < b.vec_id
+                WHERE list_dot_product(a.v, b.v)
+                      / (sqrt(list_dot_product(a.v, a.v))
+                         * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+            ), e AS (
+                SELECT id_a AS src, id_b AS dst FROM p
+                UNION SELECT id_b, id_a FROM p
+            ), r AS (
+                SELECT src AS id, src AS lbl FROM e
+                UNION
+                SELECT e.dst AS id, r.lbl FROM r JOIN e ON e.src = r.id
+            )
+            SELECT CAST(id AS BIGINT) AS id,
+                   CAST(min(lbl) AS BIGINT) AS cluster_id
+            FROM r GROUP BY id
         """,
         "fingerprint": """
             WITH t AS (

@@ -363,3 +363,94 @@ def embedding_near_duplicates(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into clusters: connected components
+    over the pair graph, labeling every member with the MIN id in its
+    component. Returns (id, cluster_id).
+
+    Training-data pipelines need this step after any near-dup pass
+    (minhash/simhash/embedding): pairs alone over-delete — A~B and
+    B~C must collapse to ONE survivor for {A,B,C} even when A~C was
+    never emitted as a pair.
+
+    Algorithm: iterative min-label propagation in DataFrame ops —
+    each round joins current labels across the symmetrized edge list
+    and takes the min (one shuffle per round, map-side-combinable
+    groupBy). Rounds needed = component diameter; near-dup
+    components are shallow (stars around a template / chains of
+    drafts), so a handful of rounds closes real corpora. Every round
+    eagerly localCheckpoints the label frame: plans stay O(1) deep
+    instead of growing one join per iteration, and the fixpoint
+    count that gates the loop pins what the next round reads.
+    Raises after max_iter rounds without a fixpoint (pathological
+    diameter — raise max_iter deliberately)."""
+    a = F.col(id_a).alias("src")
+    b = F.col(id_b).alias("dst")
+    edges = (
+        pairs.select(a, b)
+        .union(pairs.select(F.col(id_b).alias("src"),
+                            F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # min label among neighbours, per node
+        nbr = (
+            edges.join(labels.withColumnRenamed("id", "src"), on="src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new = (
+            labels.join(nbr, on="id", how="left")
+            .select(
+                "id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+                (F.col("nbr_min") < F.col("cluster_id")).alias("__chg"),
+            )
+        )
+        new = new.localCheckpoint(eager=True)
+        changed = new.filter(F.col("__chg")).limit(1).count()
+        labels = new.drop("__chg")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"duplicate_clusters did not converge in {max_iter} rounds — "
+        "component diameter exceeds max_iter; raise max_iter"
+    )
+
+
+def keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Drop every near-duplicate except one canonical survivor per
+    cluster (the min id). Rows never named in a pair pass through
+    untouched — the join against the (small) cluster map is the only
+    cost beyond the dedup pass that produced the pairs."""
+    clusters = duplicate_clusters(pairs, id_a, id_b)
+    return (
+        df.join(clusters.withColumnRenamed("id", id_col),
+                on=id_col, how="left")
+        .filter(F.col("cluster_id").isNull()
+                | (F.col("cluster_id") == F.col(id_col)))
+        .drop("cluster_id")
+    )

@@ -269,3 +269,42 @@ def test_ivf_plan_size_constant_in_n_clusters(spark):
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert len(plan) < 50_000, f"plan blew up: {len(plan)} chars"
     assert out.limit(1).count() >= 0  # executes end-to-end
+
+
+def test_duplicate_clusters_transitive_and_canonical(spark):
+    """NEW r4: pair-graph cluster resolution. A~B, B~C (no A~C pair)
+    must land in ONE cluster labeled min(id); keep_canonical keeps
+    exactly one survivor per cluster and passes untouched rows
+    through."""
+    from featuretools_spark.ops.dedup import (
+        duplicate_clusters, keep_canonical,
+    )
+
+    # components: {1,2,3} (chain), {10,11}, {20,21,22,23} (star on 20)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (20, 22), (20, 23)],
+        "id_a int, id_b int")
+    got = {r["id"]: r["cluster_id"]
+           for r in duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 23: 20}
+
+    df = spark.createDataFrame(
+        [(i, f"doc{i}") for i in [1, 2, 3, 5, 10, 11, 20, 21, 22, 23, 99]],
+        "doc_id int, text string")
+    kept = sorted(r["doc_id"]
+                  for r in keep_canonical(df, pairs, "doc_id").collect())
+    # survivors: cluster minima 1, 10, 20 + untouched 5, 99
+    assert kept == [1, 5, 10, 20, 99]
+
+    # long chain: diameter > default rounds? 12-hop chain converges
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30, 42)], "id_a int, id_b int")
+    got2 = {r["id"]: r["cluster_id"]
+            for r in duplicate_clusters(chain).collect()}
+    assert set(got2.values()) == {30}
+
+    # non-convergence guard fires with tiny max_iter
+    import pytest as _pt
+    with _pt.raises(RuntimeError, match="converge"):
+        duplicate_clusters(chain, max_iter=2)
