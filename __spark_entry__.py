@@ -971,6 +971,38 @@ def q_embedding_dedup(spark, sf_dir):
     return _r4(out, ["cos"])
 
 
+def q_audio_features(spark, sf_dir):
+    """Audio path end-to-end (NEW r4): deterministic 16-bit PCM WAVs
+    generated per doc_id in one mapInPandas, decoded by the REAL
+    stdlib WAV codec (decode_wav) in a second — strict mode, no stub.
+    Oracle columns are pure arithmetic on doc_id (header size + PCM
+    length + duration), witnessing the distributed roundtrip; rms/
+    peak correctness vs numpy is pytest-gated (test_io_multimodal)."""
+    import numpy as np
+    import pandas as pd
+
+    from featuretools_spark.ops.multimodal import audio_features, encode_wav
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            ns = (2000 + (ids % 7) * 500).tolist()
+            payloads = [
+                encode_wav(0.25 * np.sin(np.arange(k) * 0.1), 8000)
+                for k in ns
+            ]
+            yield pd.DataFrame({"media_id": ids.astype(str),
+                                "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id string, payload binary")
+    out = audio_features(media, strict=True)
+    return out.select("media_id", "n_bytes", "sample_rate",
+                      "n_samples", "duration_s")
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTER resolution (NEW r4): connected components over
     the exact-cosine pair graph via iterative min-label propagation —
@@ -1039,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_trans_agg": q_groupby_trans_agg,
         "ewm_of_agg": q_ewm_of_agg,
         "dedup_clusters": q_dedup_clusters,
+        "audio_features": q_audio_features,
     }
 
 
@@ -1712,6 +1745,15 @@ def oracle_sql() -> dict[str, str]:
             FROM cu
             LEFT JOIN agg ON agg.user_id = cu.user_id AND agg.ct = cu.ct
             LEFT JOIN fl ON fl.user_id = cu.user_id AND fl.ct = cu.ct
+        """,
+        "audio_features": """
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   CAST(44 + 2 * (2000 + (doc_id % 7) * 500)
+                        AS INTEGER) AS n_bytes,
+                   CAST(8000 AS INTEGER) AS sample_rate,
+                   CAST(2000 + (doc_id % 7) * 500 AS BIGINT) AS n_samples,
+                   (2000 + (doc_id % 7) * 500) / 8000.0 AS duration_s
+            FROM documents
         """,
         "dedup_clusters": """
             WITH RECURSIVE p AS (

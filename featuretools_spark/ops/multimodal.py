@@ -246,6 +246,122 @@ def image_features(
     return df.select(id_col, payload_col).mapInPandas(extract, out_schema)
 
 
+def decode_wav(payload: bytes) -> dict:
+    """Real WAV (RIFF) decode with ONLY the stdlib: parse the fmt
+    chunk for sample rate / channels / bit depth, read the data chunk
+    as PCM samples, return duration and amplitude statistics.
+
+    Supports integer PCM (format 1) at 8/16/32 bit and IEEE float
+    (format 3) at 32 bit — the overwhelming majority of .wav in the
+    wild. Compressed formats raise ValueError naming the format tag.
+
+    Returns {sample_rate, n_channels, bit_depth, n_samples,
+    duration_s, rms, peak} with rms/peak over samples normalized to
+    [-1, 1].
+    """
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload (bad RIFF/WAVE header)")
+    pos, fmt, data = 12, None, None
+    n = len(payload)
+    while pos + 8 <= n:
+        cid = payload[pos:pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)   # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    audio_fmt, n_ch, rate, _, _, depth = fmt
+    if audio_fmt == 1 and depth == 8:
+        x = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+        x = (x - 128.0) / 128.0
+    elif audio_fmt == 1 and depth == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif audio_fmt == 1 and depth == 32:
+        x = np.frombuffer(data, dtype="<i4").astype(np.float64) / 2147483648.0
+    elif audio_fmt == 3 and depth == 32:
+        x = np.frombuffer(data, dtype="<f4").astype(np.float64)
+    else:
+        raise ValueError(
+            f"unsupported WAV format tag {audio_fmt} / depth {depth} "
+            "(PCM 8/16/32-bit int or 32-bit float only)"
+        )
+    n_samples = len(x) // max(n_ch, 1)
+    return {
+        "sample_rate": int(rate),
+        "n_channels": int(n_ch),
+        "bit_depth": int(depth),
+        "n_samples": int(n_samples),
+        "duration_s": float(n_samples / rate) if rate else 0.0,
+        "rms": float(np.sqrt(np.mean(x * x))) if len(x) else 0.0,
+        "peak": float(np.max(np.abs(x))) if len(x) else 0.0,
+    }
+
+
+def encode_wav(samples: "np.ndarray", sample_rate: int = 16000,
+               n_channels: int = 1) -> bytes:
+    """Minimal stdlib WAV encoder (16-bit PCM) for tests: samples is a
+    float array in [-1, 1], interleaved if n_channels > 1."""
+    x = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm = np.round(x * 32767.0).astype("<i2").tobytes()
+    block = n_channels * 2
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate,
+                      sample_rate * block, block, 16)
+    riff_len = 4 + (8 + len(fmt)) + (8 + len(pcm))
+    return (b"RIFF" + struct.pack("<I", riff_len) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+
+
+def audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    strict: bool = False,
+) -> DataFrame:
+    """Decode → feature-extract audio, batched via mapInPandas.
+
+    WAV payloads get the REAL decode above (sample rate, channels,
+    duration, rms, peak). Non-WAV: strict=True raises (no torchaudio/
+    ffmpeg in container), strict=False yields NULL stats with the
+    byte length so the plumbing is exercised for every format."""
+    out_schema = (
+        f"{id_col} string, n_bytes int, sample_rate int, "
+        "n_channels int, bit_depth int, n_samples bigint, "
+        "duration_s double, rms double, peak double"
+    )
+    keys = ("sample_rate", "n_channels", "bit_depth", "n_samples",
+            "duration_s", "rms", "peak")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict = {id_col: pdf[id_col].astype(str),
+                          "n_bytes": []}
+            for k in keys:
+                rows[k] = []
+            for p in pdf[payload_col]:
+                rows["n_bytes"].append(len(p) if p is not None else 0)
+                if p is not None and bytes(p[:4]) == b"RIFF":
+                    st = decode_wav(bytes(p))
+                    for k in keys:
+                        rows[k].append(st[k])
+                    continue
+                if strict:
+                    raise NotImplementedError(
+                        "non-WAV audio codec not available in this "
+                        "container — plug torchaudio/ffmpeg here"
+                    )
+                for k in keys:
+                    rows[k].append(None)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(extract, out_schema)
+
+
 def frame_sample(
     df: DataFrame,
     payload_col: str = "payload",

@@ -204,3 +204,77 @@ def test_image_features_real_png_stats(spark):
     png_only = df.filter("media_id like 'png%'")
     n = image_features(png_only, strict=True).count()
     assert n == 12
+
+
+def test_wav_decode_roundtrip_stats():
+    """REAL stdlib WAV codec: encode a known sine, decode, check
+    rate/channels/duration and rms/peak against numpy ground truth
+    (16-bit quantization tolerance)."""
+    import numpy as np
+
+    from featuretools_spark.ops.multimodal import decode_wav, encode_wav
+
+    t = np.arange(16000) / 16000.0
+    x = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    st = decode_wav(encode_wav(x, sample_rate=16000, n_channels=1))
+    assert st["sample_rate"] == 16000
+    assert st["n_channels"] == 1
+    assert st["bit_depth"] == 16
+    assert st["n_samples"] == 16000
+    assert abs(st["duration_s"] - 1.0) < 1e-12
+    assert abs(st["rms"] - 0.5 / np.sqrt(2)) < 1e-3
+    assert abs(st["peak"] - 0.5) < 1e-3
+
+    # stereo: interleaved samples, n_samples per channel
+    inter = np.empty(2000)
+    inter[0::2] = 0.25
+    inter[1::2] = -0.75
+    st2 = decode_wav(encode_wav(inter, sample_rate=8000, n_channels=2))
+    assert st2["n_channels"] == 2
+    assert st2["n_samples"] == 1000
+    assert abs(st2["duration_s"] - 0.125) < 1e-12
+    assert abs(st2["peak"] - 0.75) < 1e-3
+
+
+def test_wav_decode_rejects_unsupported():
+    import struct
+
+    import pytest
+
+    from featuretools_spark.ops.multimodal import decode_wav
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"\x00" * 40)
+    # format tag 85 (MP3-in-WAV) must be refused by name
+    fmt = struct.pack("<HHIIHH", 85, 1, 16000, 32000, 2, 16)
+    bad = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", 0))
+    with pytest.raises(ValueError, match="format tag 85"):
+        decode_wav(bad)
+
+
+def test_audio_features_real_wav_stats(spark):
+    """WAV payloads through mapInPandas come back with real audio
+    stats (works under strict=True); non-WAV gets NULLs."""
+    import numpy as np
+
+    from featuretools_spark.ops.multimodal import audio_features, encode_wav
+
+    rows, truth = [], {}
+    for i in range(6):
+        n = 4000 + 500 * i
+        x = 0.1 * (i + 1) * np.sin(np.arange(n) * 0.05)
+        rows.append((f"wav{i}", bytearray(encode_wav(x, 8000))))
+        truth[f"wav{i}"] = n
+    rows.append(("blob", bytearray(b"notaudio" * 8)))
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    got = {r["media_id"]: r for r in audio_features(df).collect()}
+    for mid, n in truth.items():
+        assert got[mid]["n_samples"] == n
+        assert got[mid]["sample_rate"] == 8000
+        assert abs(got[mid]["duration_s"] - n / 8000.0) < 1e-12
+        assert got[mid]["rms"] is not None and got[mid]["rms"] > 0
+    assert got["blob"]["sample_rate"] is None
+    wav_only = df.filter("media_id like 'wav%'")
+    assert audio_features(wav_only, strict=True).count() == 6
