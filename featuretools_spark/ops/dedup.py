@@ -383,14 +383,15 @@ def duplicate_clusters(
     Algorithm: iterative min-label propagation in DataFrame ops —
     each round joins current labels across the symmetrized edge list
     and takes the min (one shuffle per round, map-side-combinable
-    groupBy). Rounds needed = component diameter; near-dup
-    components are shallow (stars around a template / chains of
-    drafts), so a handful of rounds closes real corpora. Every round
-    eagerly localCheckpoints the label frame: plans stay O(1) deep
-    instead of growing one join per iteration, and the fixpoint
-    count that gates the loop pins what the next round reads.
-    Raises after max_iter rounds without a fixpoint (pathological
-    diameter — raise max_iter deliberately)."""
+    groupBy), then POINTER-JUMPS (adopts the current label OF its
+    label), which shortcuts chains so rounds needed are
+    O(log diameter) instead of O(diameter). Near-dup components are
+    shallow anyway (stars around a template / chains of drafts);
+    the jump makes even adversarial chains close in a few rounds.
+    Every round eagerly localCheckpoints the label frame: plans stay
+    O(1) deep instead of growing one join per iteration, and the
+    fixpoint count that gates the loop pins what the next round
+    reads. Raises after max_iter rounds without a fixpoint."""
     a = F.col(id_a).alias("src")
     b = F.col(id_b).alias("dst")
     edges = (
@@ -413,16 +414,31 @@ def duplicate_clusters(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        new = (
+        stepped = (
             labels.join(nbr, on="id", how="left")
             .select(
                 "id",
+                F.col("cluster_id").alias("__old"),
                 F.least(
                     F.col("cluster_id"),
                     F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
                 ).alias("cluster_id"),
-                (F.col("nbr_min") < F.col("cluster_id")).alias("__chg"),
             )
+        )
+        # pointer jump: my label is a node id in my component — adopt
+        # ITS label too (labels only ever decrease, so this is safe
+        # and halves remaining chain depth each round)
+        jump = stepped.select(F.col("id").alias("cluster_id"),
+                              F.col("cluster_id").alias("__jl"))
+        new = (
+            stepped.join(jump, on="cluster_id", how="left")
+            .withColumn(
+                "cluster_id",
+                F.least(F.col("cluster_id"),
+                        F.coalesce(F.col("__jl"), F.col("cluster_id"))),
+            )
+            .withColumn("__chg", F.col("cluster_id") < F.col("__old"))
+            .select("id", "cluster_id", "__chg")
         )
         new = new.localCheckpoint(eager=True)
         changed = new.filter(F.col("__chg")).limit(1).count()
