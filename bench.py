@@ -45,6 +45,12 @@ HEADLINE = [
     "holistic_wide",     # 6 holistic prims at per-row cutoffs, batched
                          # (r3: one flag-pass join + one shared counts
                          # subplan instead of one join per primitive)
+    "ewm_of_agg",        # pandas-kernel transform OF an agg output on
+                         # the matrix (NEW r4 — was NotImplementedError)
+    "dedup_clusters",    # near-dup connected components, pointer-jump
+                         # min-label propagation (NEW r4)
+    "audio_features",    # WAV encode->decode roundtrip via the real
+                         # stdlib codec in mapInPandas (NEW r4)
 ]
 
 # north-rule backfill workload: synthetic pre-tokenized sequences

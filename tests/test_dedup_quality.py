@@ -297,14 +297,22 @@ def test_duplicate_clusters_transitive_and_canonical(spark):
     # survivors: cluster minima 1, 10, 20 + untouched 5, 99
     assert kept == [1, 5, 10, 20, 99]
 
-    # long chain: diameter > default rounds? 12-hop chain converges
+    # long chain through the DISTRIBUTED loop (max_edges_driver=0
+    # forces it — the union-find fast path would hide it): pointer
+    # jumping closes a 12-hop chain well inside default rounds
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(30, 42)], "id_a int, id_b int")
     got2 = {r["id"]: r["cluster_id"]
-            for r in duplicate_clusters(chain).collect()}
+            for r in duplicate_clusters(
+                chain, max_edges_driver=0).collect()}
     assert set(got2.values()) == {30}
 
-    # non-convergence guard fires with tiny max_iter
+    # distributed and driver union-find paths agree exactly
+    got3 = {r["id"]: r["cluster_id"]
+            for r in duplicate_clusters(chain).collect()}
+    assert got3 == got2
+
+    # non-convergence guard fires with tiny max_iter (distributed)
     import pytest as _pt
     with _pt.raises(RuntimeError, match="converge"):
-        duplicate_clusters(chain, max_iter=2)
+        duplicate_clusters(chain, max_iter=2, max_edges_driver=0)
