@@ -1003,6 +1003,39 @@ def q_audio_features(spark, sf_dir):
                       "n_samples", "duration_s")
 
 
+def q_direct_chain(spark, sf_dir):
+    """Multi-hop direct chain region -> nation -> customer: the bare
+    2-hop direct (nation.region.r_name) plus a transform-of-direct at
+    the intermediate grain (nation.NUM_CHARACTERS(region.r_name)) —
+    the depth-3 shapes the round-3 verdict flagged as raising
+    (reference builds both via deep_feature_synthesis.py steps 6+7)."""
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    es = fts.EntitySet("chain_es")
+    es.add_dataframe("region", region, index="r_regionkey")
+    es.add_dataframe("nation", nation, index="n_nationkey")
+    es.add_dataframe("customer", customer, index="c_custkey")
+    es.add_relationship("region", "r_regionkey", "nation", "n_regionkey")
+    es.add_relationship("nation", "n_nationkey", "customer", "c_nationkey")
+
+    from featuretools_spark.primitives import get_transform_primitive
+
+    rname = IdentityFeature(es, "region", "r_name")
+    d1 = fts.DirectFeature(rname, "nation", es=es)
+    mh = fts.DirectFeature(d1, "customer", es=es)
+    tlen = fts.TransformFeature(
+        get_transform_primitive("num_characters"), [d1])
+    td = fts.DirectFeature(tlen, "customer", es=es)
+    fm = fts.calculate_feature_matrix([mh, td], es,
+                                      cutoff_time=TPCH_CUTOFF)
+    return _sel(fm, "c_custkey", {
+        mh.get_name(): "region_name",
+        td.get_name(): "region_name_len",
+    }).withColumn("region_name_len",
+                  F.col("region_name_len").cast("bigint"))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTER resolution (NEW r4): connected components over
     the exact-cosine pair graph via iterative min-label propagation —
@@ -1071,6 +1104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "groupby_trans_agg": q_groupby_trans_agg,
         "ewm_of_agg": q_ewm_of_agg,
         "dedup_clusters": q_dedup_clusters,
+        "direct_chain": q_direct_chain,
         "audio_features": q_audio_features,
     }
 
@@ -1803,6 +1837,14 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text)) AS n_bytes,
                    md5(text) AS payload_md5
             FROM documents
+        """,
+        "direct_chain": """
+            SELECT c.c_custkey,
+                   r.r_name AS region_name,
+                   CAST(length(r.r_name) AS BIGINT) AS region_name_len
+            FROM customer c
+            LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+            LEFT JOIN region r ON r.r_regionkey = n.n_regionkey
         """,
         "ewm_of_agg": f"""
             WITH a AS (

@@ -463,8 +463,21 @@ def _calculate_feature_matrix(
             matrix = matrix.fillna(fills)
 
     # ---- direct features ----
-    static_direct = [f for f in direct_feats if _is_static(f.base_feature)]
-    dynamic_direct = [f for f in direct_feats if not _is_static(f.base_feature)]
+    # a base that is ITSELF a direct feature (multi-hop chain, e.g.
+    # region.x -> nation -> customer) or contains one (transform of a
+    # direct at the parent grain) routes through the dynamic recursion:
+    # each hop's point-in-time mask must be applied at ITS OWN parent's
+    # time index (reference _handle_time filters EVERY dataframe), and
+    # the recursive matrix computes the inner hop as a top-level direct
+    # with exactly that masking. Pure static bases (identities and
+    # transforms of identities) keep the broadcast fast path.
+    def _base_is_static(f):
+        return (_is_static(f.base_feature)
+                and not isinstance(f.base_feature, DirectFeature)
+                and not _has_agg_or_direct_dep(f.base_feature))
+
+    static_direct = [f for f in direct_feats if _base_is_static(f)]
+    dynamic_direct = [f for f in direct_feats if not _base_is_static(f)]
 
     if static_direct:
         by_rel: dict = {}
@@ -538,8 +551,13 @@ def _calculate_feature_matrix(
             *{f.relationship.child_col for f in static_direct}
         )
 
+    # batched per relationship: all dynamic bases over one relationship
+    # share ONE recursive parent matrix and one join-back instead of a
+    # recursion + two joins per feature
+    dyn_by_rel: dict = {}
     for f in dynamic_direct:
-        rel = f.relationship
+        dyn_by_rel.setdefault(f.relationship, []).append(f)
+    for rel, feats in dyn_by_rel.items():
         fk_map = _tgt(es, target).select(index_col, rel.child_col)
         parent_cutoffs = (
             base_keys.join(fk_map, on=index_col, how="left")
@@ -549,8 +567,10 @@ def _calculate_feature_matrix(
             )
             .distinct()
         )
+        bases = list({f.base_feature.get_name(): f.base_feature
+                      for f in feats}.values())
         pm = calculate_feature_matrix(
-            [f.base_feature], es, cutoff_time=parent_cutoffs,
+            bases, es, cutoff_time=parent_cutoffs,
             training_window=training_window,
             include_cutoff_time=include_cutoff_time,
             strategy=strategy,
@@ -558,7 +578,9 @@ def _calculate_feature_matrix(
         pm = pm.select(
             F.col(rel.parent_col).alias(rel.child_col),
             F.col("time").alias(CUTOFF_COL),
-            pm[f.base_feature.get_name()].alias(internal[f.get_name()]),
+            # base names can contain dots (multi-hop directs) — quote
+            *[F.col(f"`{f.base_feature.get_name()}`")
+              .alias(internal[f.get_name()]) for f in feats],
         )
         matrix = matrix.join(fk_map, on=index_col, how="left")
         matrix = matrix.join(pm, on=[rel.child_col, CUTOFF_COL], how="left")
@@ -1059,11 +1081,18 @@ def _materialize_features(es, table, df, feats, time_col,
     if special:
         sc = scalar_ctx[0] if scalar_ctx else None
         if sc is None:
-            raise NotImplementedError(
-                "a TRANSFORM of an aggregation/direct feature used as "
-                "an aggregation input (depth>=3) needs a scalar "
-                "cutoff_time; bare stacked inputs at per-row cutoffs "
-                "are handled by the group loop's auxiliary matrix"
+            # internal invariant, not a user-reachable limit: every
+            # calculate_feature_matrix call site routes agg/direct-
+            # bearing features elsewhere before materializing here —
+            # the group loop hoists them onto the aux matrix at
+            # per-row cutoffs, the direct-feature split sends nested
+            # direct/agg bases through the dynamic recursion, and
+            # target-grain transforms of agg outputs compile on the
+            # matrix (test_custom_and_direct.py::test_direct_chain_*)
+            raise AssertionError(
+                "unreachable: agg/direct-bearing feature reached "
+                "_materialize_features without a scalar cutoff "
+                f"context: {[f.get_name() for f in special]!r}"
             )
         _, inc, tw, strat = scalar_ctx
         uniq = list({f.get_name(): f for f in special}.values())
