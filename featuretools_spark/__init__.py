@@ -28,10 +28,13 @@ from featuretools_spark.features import (
 )
 from featuretools_spark.cfm import calculate_feature_matrix
 from featuretools_spark.dfs import dfs
+from featuretools_spark.describe import describe_feature, list_primitives
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "describe_feature",
+    "list_primitives",
     "EntitySet",
     "Relationship",
     "Timedelta",

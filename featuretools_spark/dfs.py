@@ -203,9 +203,80 @@ def build_features(
     ignore_columns: dict | None = None,
     where_stacking_limit: int = 1,
     return_kinds=None,
+    seed_features=None,
+    drop_contains=None,
+    drop_exact=None,
+    ignore_dataframes=None,
+    allowed_paths=None,
+    primitive_options=None,
 ) -> list:
     es = entityset
     target = target_dataframe_name
+    ignore_df = set(ignore_dataframes or [])
+    if target in ignore_df:
+        raise ValueError("target dataframe cannot be in ignore_dataframes")
+    # reference compares tuple(path.dataframes()) — the start table
+    # followed by each hop's destination — against the allowed set
+    # (deep_feature_synthesis.py:179-183, 414-420)
+    allowed = ({tuple(p) for p in allowed_paths}
+               if allowed_paths else None)
+    seeds = list(seed_features or [])
+    seed_names = {f.get_name() for f in seeds}
+    # primitive_options: per-primitive include/ignore filters on input
+    # columns/dataframes (reference options_utils.py:204-238
+    # column_filter — mirrored exactly, including its first-dependency
+    # return under include_dataframes). Keys: primitive name, tuple of
+    # names, or a primitive class/instance; values: one option dict
+    # for all inputs, or a list of dicts matched per input position.
+    popts: dict = {}
+    for k, v in (primitive_options or {}).items():
+        if isinstance(k, (tuple, list)):
+            keys = list(k)
+        else:
+            keys = [k]
+        names = [
+            kk if isinstance(kk, str) else getattr(kk, "name", str(kk))
+            for kk in keys
+        ]
+        opts = list(v) if isinstance(v, list) else [v]
+        for nm in names:
+            popts[nm] = opts
+
+    def _opt_col_filter(f, opt, groupby=False):
+        ic = "include_groupby_columns" if groupby else "include_columns"
+        xc = "ignore_groupby_columns" if groupby else "ignore_columns"
+        idf = ("include_groupby_dataframes" if groupby
+               else "include_dataframes")
+        xdf = ("ignore_groupby_dataframes" if groupby
+               else "ignore_dataframes")
+        for b in f.get_dependencies(deep=True) + [f]:
+            if isinstance(b, IdentityFeature):
+                if ic in opt and b.entity in opt[ic]:
+                    if b.get_name() in opt[ic][b.entity]:
+                        continue
+                    return False
+                if (xc in opt and b.entity in opt[xc]
+                        and b.get_name() in opt[xc][b.entity]):
+                    return False
+            if idf in opt:
+                return b.entity in opt[idf]
+            if xdf in opt and b.entity in opt[xdf]:
+                return False
+        return True
+
+    def filter_matches(prim, matches, groupby=False):
+        opts = popts.get(prim.name)
+        if not opts:
+            return matches
+        if len(opts) > 1:
+            return [
+                m for m in matches
+                if len(m) == len(opts)
+                and all(_opt_col_filter(f, o, groupby)
+                        for f, o in zip(m, opts))
+            ]
+        return [m for m in matches
+                if all(_opt_col_filter(f, opts[0], groupby) for f in m)]
     agg_prims = [
         get_aggregation_primitive(a)
         for a in (agg_primitives if agg_primitives is not None
@@ -230,9 +301,19 @@ def build_features(
     _depths: dict = {}
 
     def depth(f) -> int:
+        """Feature depth, counting seed features as 0 (reference
+        get_feature_depth(stop_at=seed_features) — DFS stacks on a
+        seed as if it were an identity column)."""
         key = id(f)
         if key not in _depths:
-            _depths[key] = f.get_depth()
+            if f.get_name() in seed_names:
+                _depths[key] = 0
+            else:
+                deps = f.get_dependencies()
+                _depths[key] = (
+                    0 if not deps
+                    else f._own_depth() + max(depth(d) for d in deps)
+                )
         return _depths[key]
 
     def add(table, f):
@@ -304,6 +385,7 @@ def build_features(
                     and not in_path(f, path_cols)
                     and f.number_output_features == 1
                 ]
+            matches = filter_matches(prim, matches)
             for m in matches:
                 if not _can_stack(prim, m):
                     continue
@@ -373,7 +455,7 @@ def build_features(
                     if any(isinstance(x, DirectFeature) for x in m)
                     and not _all_direct_same_path(m)
                 ]
-            for m in matches:
+            for m in filter_matches(prim, matches):
                 if _can_stack(prim, m):
                     to_add.append(TransformFeature(type(prim)(), list(m)))
         # groupby transforms: FK features are the default groupbys
@@ -388,10 +470,15 @@ def build_features(
                 kinds = getattr(prim, "input_kinds", ("numeric",))
                 cands = [f for f in pool
                          if _kind_matches(_feature_kind(es, f), kinds)]
+                cands = [m[0] for m in
+                         filter_matches(prim, [(c,) for c in cands])]
+                p_gbs = [m[0] for m in
+                         filter_matches(prim, [(g,) for g in gbs],
+                                        groupby=True)]
                 for c in cands:
                     if not _can_stack(prim, (c,)):
                         continue
-                    for g in gbs:
+                    for g in p_gbs:
                         if require_direct:
                             g_direct = isinstance(g, DirectFeature)
                             c_direct = isinstance(c, DirectFeature)
@@ -439,7 +526,10 @@ def build_features(
                     rel.child_name, on_path | {rel.child_name}):
                 yield [rel] + sub
 
-    def run_dfs(table, max_d):
+    def path_ok(names: tuple) -> bool:
+        return allowed is None or names in allowed
+
+    def run_dfs(table, max_d, path_names):
         if max_d is not None and max_d < 0:
             return
         all_features[table] = {}
@@ -448,29 +538,50 @@ def build_features(
             if col in ignore.get(table, set()) or col == LTI_COLUMN_NAME:
                 continue
             add(table, IdentityFeature(es, table, col))
+        # 1b: seed features at this grain join the pool so DFS stacks
+        # on them (reference _add_identity_features:584-586)
+        for sf in seeds:
+            if getattr(sf, "entity", None) == table:
+                add(table, sf)
         # 2: backward recursion
         for rel in es.get_backward_relationships(table):
-            if rel.child_name in all_features:
+            if (rel.child_name in all_features
+                    or rel.child_name in ignore_df
+                    or not path_ok(path_names + (rel.child_name,))):
                 continue
-            run_dfs(rel.child_name, None if max_d is None else max_d - 1)
+            run_dfs(rel.child_name, None if max_d is None else max_d - 1,
+                    path_names + (rel.child_name,))
         # 3: aggregations over deep backward paths
         for path in deep_backward_paths(table, {table}):
+            # reference gates on the terminal child and the full
+            # target-relative path tuple (deep_feature_synthesis.py:443-449)
+            if path[-1].child_name in ignore_df:
+                continue
+            full = path_names + tuple(r.child_name for r in path)
+            if not path_ok(full):
+                continue
             build_agg_features(table, path, max_d)
         # 4: transforms of identity + aggregation features
         build_transform_features(table, max_d)
         # 5: forward recursion
         for rel in es.get_forward_relationships(table):
-            if rel.parent_name in all_features:
+            if (rel.parent_name in all_features
+                    or rel.parent_name in ignore_df
+                    or not path_ok(path_names + (rel.parent_name,))):
                 continue
-            run_dfs(rel.parent_name, None if max_d is None else max_d - 1)
+            run_dfs(rel.parent_name, None if max_d is None else max_d - 1,
+                    path_names + (rel.parent_name,))
         # 6: direct features
         for rel in es.get_forward_relationships(table):
+            if (rel.parent_name in ignore_df
+                    or not path_ok(path_names + (rel.parent_name,))):
+                continue
             build_forward_features(table, rel, max_d)
         # 7: transforms of direct features
         build_transform_features(table, max_d, require_direct=True)
         build_where_clauses(table)
 
-    run_dfs(target, max_depth)
+    run_dfs(target, max_depth, (target,))
 
     # ---- finalize (reference build_features:324-360) --------------------
     feats = list(all_features.get(target, {}).values())
@@ -500,6 +611,14 @@ def build_features(
         return k in keep_kinds
 
     feats = [f for f in feats if keep(f)]
+    # name-based drops (reference _filter_features:363-380): substring
+    # then exact match, before the max_features cap
+    if drop_contains:
+        feats = [f for f in feats
+                 if not any(s in f.get_name() for s in drop_contains)]
+    if drop_exact:
+        dx = set(drop_exact)
+        feats = [f for f in feats if f.get_name() not in dx]
     feats.sort(key=depth)  # stable: insertion order within each depth
     if max_features:
         feats = feats[:max_features]
@@ -507,6 +626,8 @@ def build_features(
 
 
 def dfs(
+    dataframes: dict | None = None,
+    relationships: list | None = None,
     entityset: EntitySet = None,
     target_dataframe_name: str = None,
     cutoff_time=None,
@@ -515,17 +636,42 @@ def dfs(
     trans_primitives=None,
     where_primitives=None,
     groupby_trans_primitives=None,
+    allowed_paths=None,
     max_depth: int = 2,
+    ignore_dataframes=None,
+    ignore_columns: dict | None = None,
+    primitive_options=None,
+    seed_features=None,
+    drop_contains=None,
+    drop_exact=None,
     max_features: int | None = None,
     training_window=None,
+    approximate=None,
     include_cutoff_time: bool = True,
     features_only: bool = False,
-    ignore_columns: dict | None = None,
     where_stacking_limit: int = 1,
     strategy: str = "join",
 ):
     """Synthesize features and (unless features_only) compute the matrix.
-    Mirrors ft.dfs (reference synthesis/dfs.py:12-299)."""
+    Mirrors ft.dfs (reference synthesis/dfs.py:12-299).
+
+    `dataframes`/`relationships` build an EntitySet inline, reference
+    style: {name: (df, index[, time_index])} plus
+    [(parent, parent_col, child, child_col), ...]. The reference's
+    scheduler knobs (n_jobs, chunk_size, dask_kwargs, save_progress)
+    have no equivalent here — Spark partitioning supersedes chunking
+    and `featuretools_spark.io` checkpoints supersede save_progress.
+    """
+    if entityset is None:
+        if not dataframes:
+            raise ValueError("provide entityset= or dataframes=")
+        entityset = EntitySet("dfs_es")
+        for name, spec in dataframes.items():
+            df, index = spec[0], spec[1]
+            ti = spec[2] if len(spec) > 2 else None
+            entityset.add_dataframe(name, df, index=index, time_index=ti)
+        for rel in relationships or []:
+            entityset.add_relationship(*rel)
     features = build_features(
         entityset,
         target_dataframe_name,
@@ -537,6 +683,12 @@ def dfs(
         max_features=max_features,
         ignore_columns=ignore_columns,
         where_stacking_limit=where_stacking_limit,
+        seed_features=seed_features,
+        drop_contains=drop_contains,
+        drop_exact=drop_exact,
+        ignore_dataframes=ignore_dataframes,
+        allowed_paths=allowed_paths,
+        primitive_options=primitive_options,
     )
     if features_only:
         return features
@@ -546,6 +698,7 @@ def dfs(
         cutoff_time=cutoff_time,
         instance_ids=instance_ids,
         training_window=training_window,
+        approximate=approximate,
         include_cutoff_time=include_cutoff_time,
         strategy=strategy,
     )

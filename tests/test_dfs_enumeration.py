@@ -516,3 +516,148 @@ def test_dfs_enumerates_pandas_kernel_groupby_of_agg(spark):
     rows = fm.limit(5).collect()
     assert rows and chosen[0].get_name() in fm.columns
     assert any(r[chosen[0].get_name()] is not None for r in rows)
+
+
+def test_ignore_dataframes(es):
+    """Reference deep_feature_synthesis.py:185-193,414-443: blacklisted
+    dataframes are skipped in the backward walk — no lineitem features
+    anywhere, including deep paths through orders."""
+    names = _names(es, target_dataframe_name="customer",
+                   agg_primitives=["sum", "count"], trans_primitives=[],
+                   ignore_columns=IGNORE, max_depth=2,
+                   ignore_dataframes=["lineitem"])
+    assert not any("lineitem" in n for n in names)
+    assert "SUM(orders.o_totalprice)" in names
+    with pytest.raises(ValueError):
+        _names(es, target_dataframe_name="customer",
+               agg_primitives=["sum"], trans_primitives=[],
+               ignore_dataframes=["customer"])
+
+
+def test_allowed_paths(es):
+    """Reference :179-183,419: a path is usable only if its full
+    target-relative dataframe tuple is in allowed_paths — allowing
+    customer->orders but not the deep customer->orders->lineitem."""
+    names = _names(es, target_dataframe_name="customer",
+                   agg_primitives=["sum", "count"], trans_primitives=[],
+                   ignore_columns=IGNORE, max_depth=2,
+                   allowed_paths=[["customer", "orders"]])
+    assert "SUM(orders.o_totalprice)" in names
+    assert not any("lineitem" in n for n in names)
+
+
+def test_seed_features_stack_and_count_depth_zero(es):
+    """Reference :584-586 + get_feature_depth(stop_at=seed): a manually
+    built feature joins the pool at its grain, DFS aggregates it, and
+    its internal depth does not count against max_depth."""
+    import featuretools_spark as fts
+    from featuretools_spark.features import TransformFeature
+    from featuretools_spark.primitives import get_transform_primitive
+
+    v = IdentityFeature(es, "events", "value")
+    seed = TransformFeature(get_transform_primitive("absolute"), [v])
+    names = _names(es, target_dataframe_name="users",
+                   agg_primitives=["sum"], trans_primitives=[],
+                   max_depth=1, seed_features=[seed])
+    assert "SUM(events.ABSOLUTE(value))" in names
+    # without the seed, depth 1 cannot produce a transform-of-identity
+    # under an aggregation
+    base = _names(es, target_dataframe_name="users",
+                  agg_primitives=["sum"], trans_primitives=["absolute"],
+                  max_depth=1)
+    assert "SUM(events.ABSOLUTE(value))" not in base
+
+
+def test_drop_contains_and_exact(es):
+    names = _names(es, target_dataframe_name="customer",
+                   agg_primitives=["sum", "count"], trans_primitives=[],
+                   ignore_columns=IGNORE, max_depth=2,
+                   drop_contains=["lineitem"],
+                   drop_exact=["COUNT(orders)"])
+    assert not any("lineitem" in n for n in names)
+    assert "COUNT(orders)" not in names
+    assert "SUM(orders.o_totalprice)" in names
+
+
+def test_dfs_dataframes_relationships_construction(spark):
+    """Reference dfs(dataframes=..., relationships=...) inline-ES form."""
+    import datetime as dt
+    import featuretools_spark as fts
+    from pyspark.sql import functions as F
+
+    d = "/root/testdata/sf0.001"
+    events = spark.read.parquet(f"{d}/events.parquet")
+    users = events.select("user_id").distinct()
+    fm, feats = fts.dfs(
+        dataframes={"users": (users, "user_id"),
+                    "events": (events, "event_id", "ts")},
+        relationships=[("users", "user_id", "events", "user_id")],
+        target_dataframe_name="users",
+        agg_primitives=["count", "sum"], trans_primitives=[],
+        cutoff_time=dt.datetime(2024, 1, 15),
+        approximate="1 hour",
+        max_depth=1)
+    assert fm.count() == users.count()
+    assert any(f.get_name() == "COUNT(events)" for f in feats)
+
+
+def test_primitive_options_column_and_dataframe_filters(es):
+    """Reference options_utils.column_filter:204-238: per-primitive
+    include/ignore of input columns and dataframes."""
+    # sum must skip o_totalprice everywhere; count unaffected
+    names = _names(es, target_dataframe_name="customer",
+                   agg_primitives=["sum", "count"], trans_primitives=[],
+                   ignore_columns=IGNORE, max_depth=2,
+                   primitive_options={
+                       "sum": {"ignore_columns":
+                               {"orders": ["o_totalprice"]}},
+                   })
+    assert "SUM(orders.o_totalprice)" not in names
+    assert "SUM(lineitem.l_quantity)" in names
+    assert "COUNT(orders)" in names
+
+    # include_dataframes: mean only over lineitem inputs
+    names = _names(es, target_dataframe_name="customer",
+                   agg_primitives=["mean"], trans_primitives=[],
+                   ignore_columns=IGNORE, max_depth=2,
+                   primitive_options={
+                       "mean": {"include_dataframes": ["lineitem"]},
+                   })
+    assert "MEAN(lineitem.l_quantity)" in names
+    assert "MEAN(orders.o_totalprice)" not in names
+
+    # tuple key applies one option set to several primitives
+    names = _names(es, target_dataframe_name="customer",
+                   agg_primitives=["sum", "mean"], trans_primitives=[],
+                   ignore_columns=IGNORE, max_depth=2,
+                   primitive_options={
+                       ("sum", "mean"): {"ignore_dataframes": ["lineitem"]},
+                   })
+    assert not any(n.startswith(("SUM(lineitem", "MEAN(lineitem"))
+                   for n in names)
+    assert "SUM(orders.o_totalprice)" in names
+
+
+def test_list_primitives_and_describe_feature(es):
+    """Reference primitives/utils.py:79 and
+    feature_base/feature_descriptions.py:6."""
+    import featuretools_spark as fts
+    from featuretools_spark.features import AggregationFeature
+
+    cat = fts.list_primitives()
+    assert set(cat.columns) == {"name", "type", "description",
+                                "valid_inputs"}
+    assert (cat["type"] == "aggregation").sum() >= 65
+    assert (cat["type"] == "transform").sum() >= 138
+    assert "sum" in set(cat["name"])
+
+    v = IdentityFeature(es, "events", "value")
+    agg = AggregationFeature(v, "users", "sum", es=es)
+    d = fts.describe_feature(agg)
+    assert d == 'The sum of the "value" of all instances of "events".'
+    # custom override + template
+    assert fts.describe_feature(
+        agg, feature_descriptions={"SUM(events.value)": "total spend"}
+    ) == "Total spend."
+    assert "grand total" in fts.describe_feature(
+        agg, primitive_templates={"sum": "the grand total of {}"})
