@@ -1221,7 +1221,35 @@ def _apply_pandas_transform(df, prim, in_cols, out_col, order_cols, part_cols):
         return prim.pandas(pdf, in_cols, out_col, order_cols)
 
     if part_cols:
-        return df.groupBy(*part_cols).applyInPandas(fn, schema)
+        # hash-partition by the groupby key and run ONE mapInPandas
+        # per partition, looping groups in Python: applyInPandas pays
+        # an Arrow exchange + Python invocation PER GROUP, which
+        # dominates when groups are small and numerous (the common
+        # per-entity shape). Memory is bounded by the shuffle
+        # partition, the same contract as the sortmerge kernel.
+        import pandas as _pd
+
+        nparts = int(df.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "200"))
+        ordered = (
+            df.repartition(nparts, *[F.col(c) for c in part_cols])
+            .sortWithinPartitions(*part_cols, *order_cols)
+        )
+
+        def fngrp(batches):
+            parts = list(batches)
+            if not parts:
+                return
+            pdf = (_pd.concat(parts, ignore_index=True)
+                   if len(parts) > 1 else parts[0])
+            outs = []
+            # rows arrive sorted by (key, order): each group slice is
+            # already in kernel order — no per-group re-sort
+            for _, g in pdf.groupby(part_cols, sort=False, dropna=False):
+                outs.append(prim.pandas(g, in_cols, out_col, order_cols))
+            yield _pd.concat(outs, ignore_index=True)
+
+        return ordered.mapInPandas(fngrp, schema)
     # global (no partition key) EWM primitives have a genuinely
     # distributed evaluation — a two-pass segmented prefix scan over
     # range partitions (ewm.py) — so they never hit the single-group
