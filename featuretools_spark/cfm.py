@@ -1247,7 +1247,8 @@ def _apply_pandas_transform(df, prim, in_cols, out_col, order_cols, part_cols):
             # already in kernel order — no per-group re-sort
             for _, g in pdf.groupby(part_cols, sort=False, dropna=False):
                 outs.append(prim.pandas(g, in_cols, out_col, order_cols))
-            yield _pd.concat(outs, ignore_index=True)
+            if outs:  # a partition of empty Arrow batches yields nothing
+                yield _pd.concat(outs, ignore_index=True)
 
         return ordered.mapInPandas(fngrp, schema)
     # global (no partition key) EWM primitives have a genuinely
