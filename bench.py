@@ -340,7 +340,29 @@ def run_once(sf_dir: str, cpus: int, queries=None) -> dict:
         "flagship": flag,
         "query_reps": reps_out,
         "reps_per_query": qreps,
+        # latest committed scaling-protocol evidence (north rule §N->4N);
+        # produced by `python bench.py --scaling`, full context in
+        # BENCH/BASELINE.md
+        "scaling": _latest_scaling(),
     }
+
+
+def _latest_scaling():
+    import glob
+    paths = sorted(glob.glob(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH", "scaling_cluster_*.json")))
+    if not paths:
+        return None
+    try:
+        with open(paths[-1]) as f:
+            d = json.load(f)
+        return {"efficiency": d.get("value"), "mode": d.get("mode"),
+                "reps": d.get("reps"), "t_n_median": d.get("t_n_median"),
+                "t_4n_median": d.get("t_4n_median"),
+                "source": os.path.basename(paths[-1])}
+    except Exception:
+        return None
 
 
 def _median(xs):
