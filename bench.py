@@ -383,8 +383,15 @@ def run_scaling(sf_dir: str, n: int = 2, reps: int = 3,
     Each rep times ONE cold execution per leg (Spark reuses shuffle
     map outputs across repeated actions on the same plan, so "warm"
     runs only measure the final stage — cold is the honest number);
-    legs are interleaved (n, 4n, n, 4n, ...) so a drifting box hits
-    both legs, and each leg's JVM is pinned with `taskset -c 0..c-1`
+    legs are interleaved with ALTERNATING order per rep
+    ((n,4n), (4n,n), (n,4n), ...): two full prior runs showed the
+    4N leg degrading monotonically with wall-clock position in the
+    run (198.7->250.4s and 214.7->294.5s) while the N leg stayed
+    flat — with a fixed (n,4n) order the 4N leg always sits later
+    in the run, so accumulating host saturation biases the ratio
+    against it; mirroring the order per rep gives both legs the
+    same mean wall-clock position.  Each leg's JVM is pinned with
+    `taskset -c 0..c-1`
     to exactly its core count — local[2] on a 32-core box otherwise
     spreads GC/IO/Python threads over idle cores, which no 2-executor
     cluster gets to do, overstating t(4n)/understating efficiency...
@@ -394,7 +401,8 @@ def run_scaling(sf_dir: str, n: int = 2, reps: int = 3,
     times = {n: [], 4 * n: []}
     rows_out = None
     for rep in range(reps):
-        for cpus in (n, 4 * n):
+        order = (n, 4 * n) if rep % 2 == 0 else (4 * n, n)
+        for cpus in order:
             # fixed idle cool-down before EVERY timed leg: on this
             # host a leg started immediately after a long saturating
             # run measures ~25% slower than the identical leg after
@@ -475,6 +483,7 @@ def run_scaling(sf_dir: str, n: int = 2, reps: int = 3,
         "reps": reps,
         "pinned": pin,
         "cooldown_s": cooldown,
+        "leg_order": "alternated",
         "t_n_sec": times[n],
         "t_4n_sec": times[4 * n],
         "t_n_median": med_n,
