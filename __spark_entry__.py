@@ -692,8 +692,10 @@ def q_text_quality(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = quality_features(docs, "text")
     return out.select(
-        "doc_id", "n_chars_calc", "n_words", "mean_word_len",
-        "punct_ratio", "stopword_ratio",
+        "doc_id",
+        F.col("n_chars_calc").cast("long").alias("n_chars_calc"),
+        F.col("n_words").cast("long").alias("n_words"),
+        "mean_word_len", "punct_ratio", "stopword_ratio",
     )
 
 
@@ -704,8 +706,8 @@ def q_token_count(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(
         "doc_id",
-        token_count(F.col("text"), "whitespace").alias("ws_tokens"),
-        token_count(F.col("text"), "bpe").alias("bpe_tokens"),
+        token_count(F.col("text"), "whitespace").cast("long").alias("ws_tokens"),
+        token_count(F.col("text"), "bpe").cast("long").alias("bpe_tokens"),
     )
 
 
@@ -729,7 +731,11 @@ def q_ann_brute_topk(spark, sf_dir):
         emb.filter(F.col("vec_id") >= 5), queries,
         id_col="vec_id", vec_col="embedding", k=5,
     )
-    return _r4(out.select("query_id", "vec_id", "score", "rank"), ["score"])
+    return _r4(
+        out.select("query_id", "vec_id", "score",
+                   F.col("rank").cast("long").alias("rank")),
+        ["score"],
+    )
 
 
 def q_minhash_dedup(spark, sf_dir):
@@ -876,7 +882,11 @@ def q_lsh_topk(spark, sf_dir):
     )
     out = lsh_topk(emb.filter(F.col("vec_id") >= 3), queries,
                    id_col="vec_id", vec_col="embedding", k=5, n_planes=12)
-    return _r4(out.select("query_id", "vec_id", "score", "rank"), ["score"])
+    return _r4(
+        out.select("query_id", "vec_id", "score",
+                   F.col("rank").cast("long").alias("rank")),
+        ["score"],
+    )
 
 
 def q_fingerprint(spark, sf_dir):
@@ -905,7 +915,11 @@ def q_ivf_topk(spark, sf_dir):
     out = ivf_topk(emb.filter(F.col("vec_id") >= 5), queries,
                    id_col="vec_id", vec_col="embedding", k=5,
                    n_clusters=16, n_probe=12, max_iter=3)
-    return _r4(out.select("query_id", "vec_id", "score", "rank"), ["score"])
+    return _r4(
+        out.select("query_id", "vec_id", "score",
+                   F.col("rank").cast("long").alias("rank")),
+        ["score"],
+    )
 
 
 def q_ewm_global(spark, sf_dir):
@@ -955,7 +969,11 @@ def q_multimodal_features(spark, sf_dir):
     out = image_features(media, payload_col="payload",
                          id_col="media_id", n_features=8,
                          hash_payload=True)
-    return out.select("media_id", "n_bytes", "payload_md5")
+    return out.select(
+        "media_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "payload_md5",
+    )
 
 
 def q_embedding_dedup(spark, sf_dir):

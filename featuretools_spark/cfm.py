@@ -1216,10 +1216,6 @@ def _apply_pandas_transform(df, prim, in_cols, out_col, order_cols, part_cols):
         df.schema.fields + [T.StructField(out_col, T.DoubleType(), True)]
     )
 
-    def fn(pdf):
-        pdf = pdf.sort_values(order_cols, kind="stable")
-        return prim.pandas(pdf, in_cols, out_col, order_cols)
-
     if part_cols:
         # hash-partition by the groupby key and run ONE mapInPandas
         # per partition, looping groups in Python: applyInPandas pays
@@ -1231,9 +1227,16 @@ def _apply_pandas_transform(df, prim, in_cols, out_col, order_cols, part_cols):
 
         nparts = int(df.sparkSession.conf.get(
             "spark.sql.shuffle.partitions", "200"))
+        # explicit nulls-LAST ordering to match pandas sort_values
+        # (the global path's NaN/NaT placement); Spark's default is
+        # nulls-first and would feed kernels a different row order
+        # for groups containing null order values
         ordered = (
             df.repartition(nparts, *[F.col(c) for c in part_cols])
-            .sortWithinPartitions(*part_cols, *order_cols)
+            .sortWithinPartitions(
+                *part_cols,
+                *[F.col(c).asc_nulls_last() for c in order_cols],
+            )
         )
 
         def fngrp(batches):

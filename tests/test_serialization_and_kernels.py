@@ -146,3 +146,41 @@ def test_pandas_kernel_transform_of_agg_output(spark, es):
                        equal_nan=True, atol=1e-9)
     assert np.allclose(got[g_grp.get_name()].astype(float), exp_grp,
                        equal_nan=True, atol=1e-9)
+
+
+def test_grouped_kernel_null_order_matches_pandas(spark):
+    """ADVICE r4: the grouped mapInPandas path must sort order
+    columns nulls-LAST (pandas sort_values NaN/NaT placement), not
+    Spark's default nulls-first — otherwise groups containing null
+    order values feed the kernel a different row order than the
+    global applyInPandas path."""
+    from featuretools_spark.cfm import _apply_pandas_transform
+    from featuretools_spark.primitives.transform import (
+        ExponentialWeightedAverage,
+    )
+
+    rng = np.random.RandomState(7)
+    n = 40
+    pdf = pd.DataFrame({
+        "id": np.arange(n),
+        "grp": rng.randint(0, 3, n),
+        "val": rng.randn(n),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(np.arange(n) * 3600, unit="s"),
+    })
+    # punch NaT holes in every group
+    pdf.loc[pdf.index % 5 == 0, "ts"] = pd.NaT
+    sdf = spark.createDataFrame(pdf)
+    prim = ExponentialWeightedAverage(com=0.5)
+
+    out_grp = _apply_pandas_transform(
+        sdf, prim, ["val"], "ewm", ["ts", "id"], ["grp"]
+    ).toPandas().set_index("id")["ewm"]
+
+    # pandas reference: NaT sorts last within each group
+    ref = pdf.sort_values(["ts", "id"], kind="stable")
+    want = ref.groupby("grp")["val"].transform(
+        lambda s: s.ewm(com=0.5).mean())
+    want.index = ref["id"]
+    for i in pdf["id"]:
+        assert abs(out_grp[i] - want[i]) < 1e-9, (i, out_grp[i], want[i])
