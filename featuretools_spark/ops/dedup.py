@@ -153,11 +153,29 @@ def minhash_duplicates(
     bands: int = 16,
     k: int = 5,
     threshold: float = 0.8,
+    verify: str | None = None,
 ) -> DataFrame:
-    """End-to-end MinHash-LSH near-dup detection: returns candidate
-    pairs with estimated Jaccard >= threshold."""
+    """End-to-end MinHash-LSH near-dup detection.
+
+    verify=None (default, the scale path): returns candidate pairs
+    with ESTIMATED Jaccard (signature agreement) >= threshold —
+    one pass, no second join against the shingle sets.
+
+    verify="exact" (the witness path): LSH candidates are re-scored
+    with the EXACT shingle Jaccard and filtered at threshold, so the
+    output (id_a, id_b, jaccard) is a deterministic function of the
+    corpus alone — any engine can recompute it from the raw text
+    (this is what the driver's DuckDB oracle checks); the
+    hash-specific signatures only decide which pairs get SCORED,
+    and LSH recall at the threshold is what the oracle witnesses.
+    Costs one extra join of candidates against the shingle sets."""
     sig = minhash_signature(df, id_col, text_col, num_perm, k)
     pairs = lsh_candidate_pairs(sig, id_col, num_perm, bands)
+    if verify == "exact":
+        return ngram_jaccard_pairs(
+            df, id_col, text_col, k=k, threshold=threshold,
+            candidates=pairs.select("id_a", "id_b"),
+        )
     return pairs.filter(F.col("est_jaccard") >= threshold)
 
 
@@ -189,7 +207,8 @@ def hamming_distance(a, b):
 
 
 def simhash_near_duplicates(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
+    verify_jaccard: float | None = None, shingle_k: int = 5,
 ) -> DataFrame:
     """Near-dup pairs by SimHash with pigeonhole blocking: the 64-bit
     signature splits into (max_hamming + 1) chunks — a pair within the
@@ -233,9 +252,22 @@ def simhash_near_duplicates(
         .dropDuplicates(["id_a", "id_b"])
     )
     dist = hamming_distance(F.col("sh_a"), F.col("sh_b"))
-    return pairs.select("id_a", "id_b", dist.alias("hamming")).filter(
+    out = pairs.select("id_a", "id_b", dist.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+    if verify_jaccard is not None:
+        # witness path: re-score the hamming-bounded candidates with
+        # the exact shingle Jaccard — output (id_a, id_b, jaccard)
+        # is engine-independent (the DuckDB oracle recomputes it from
+        # raw text); the signature only gates which pairs are scored.
+        # Blocking recall is exact by the pigeonhole bound, so any
+        # true pair missing from the output means its signatures
+        # drifted past max_hamming — which the oracle then catches.
+        return ngram_jaccard_pairs(
+            df, id_col, text_col, k=shingle_k, threshold=verify_jaccard,
+            candidates=out.select("id_a", "id_b"),
+        )
+    return out
 
 
 def ngram_jaccard_pairs(

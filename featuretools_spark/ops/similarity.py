@@ -83,7 +83,7 @@ def brute_force_topk(
 
 
 def rh_signature(df: DataFrame, vec_col: str, n_planes: int = 16,
-                 seed: int = 42) -> DataFrame:
+                 seed: int = 42, hash_fn: str = "spark") -> DataFrame:
     """Append a long signature column `rh_sig`: bit p = sign of the
     dot product with pseudo-random plane p. Plane components are
     hash-derived in [-1, 1) on the fly (hash(seed, plane, position) —
@@ -91,12 +91,36 @@ def rh_signature(df: DataFrame, vec_col: str, n_planes: int = 16,
     signature is ONE nested array-aggregate expression: plan size is
     O(1) in both n_planes and embedding dimension (the old per-term
     unrolling built ~n_planes x dim Column nodes — ~9k at dim=768),
-    and no driver action is needed to discover the dimension."""
+    and no driver action is needed to discover the dimension.
+
+    hash_fn="spark" (default): plane components from F.hash (murmur3)
+    — the fast JVM scale path, engine-specific values.
+    hash_fn="md5" (witness mode): components from the first 8 hex
+    digits of md5(f"{seed},{plane},{dim}") — engine-AGNOSTIC, so a
+    SQL oracle (DuckDB) can rebuild the identical planes, signatures,
+    bands, candidate sets, and final neighbor lists (same pattern as
+    textstats.fingerprint's md5 mode). Slower (string md5 per
+    vector element), so not the default at corpus scale."""
     v = F.col(vec_col)
 
-    def plane_component(p, d):
-        h = F.hash(F.lit(seed), p.cast("int"), d.cast("int"))
-        return (F.pmod(h, F.lit(2001)).cast("double") - 1000.0) / 1000.0
+    if hash_fn == "md5":
+        def plane_component(p, d):
+            h = F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(
+                        ",", F.lit(str(seed)),
+                        p.cast("int").cast("string"),
+                        d.cast("int").cast("string"),
+                    )),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long")
+            return (F.pmod(h, F.lit(2001)).cast("double") - 1000.0) / 1000.0
+    else:
+        def plane_component(p, d):
+            h = F.hash(F.lit(seed), p.cast("int"), d.cast("int"))
+            return (F.pmod(h, F.lit(2001)).cast("double") - 1000.0) / 1000.0
 
     def dot_with_plane(p):
         return F.aggregate(
@@ -132,6 +156,7 @@ def lsh_topk(
     n_planes: int = 12,
     n_tables: int = 8,
     seed: int = 42,
+    hash_fn: str = "spark",
 ) -> DataFrame:
     """Approximate top-k: candidates = corpus rows whose
     random-hyperplane signature matches the query's in at least one
@@ -143,7 +168,8 @@ def lsh_topk(
 
     def with_sigs(df, vcol):
         for t in range(n_tables):
-            df = rh_signature(df, vcol, n_planes, seed + 7919 * t) \
+            df = rh_signature(df, vcol, n_planes, seed + 7919 * t,
+                              hash_fn=hash_fn) \
                 .withColumnRenamed("rh_sig", f"__sig{t}")
         return df
 
