@@ -548,6 +548,66 @@ def q_dfs_depth2(spark, sf_dir):
     return out
 
 
+def q_dfs_depth3(spark, sf_dir):
+    """full max_depth=3 DFS build over nation<-customer<-orders<-
+    lineitem (round 5, VERDICT #7): the whole 36-feature enumeration
+    executes (triple-stacked aggregations like
+    SUM(customer.MEAN(orders.SUM(lineitem.l_quantity)))); the oracle
+    checks a 12-column cross-section spanning every depth, including
+    depth-3 stacks and stacks over direct features. Engine defaults:
+    sums/counts fill 0 at each grain, means stay null and are
+    skipped by the next aggregation up."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").withColumn(
+        "c_acctbal", _cents("c_acctbal"))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "o_totalprice", _cents("o_totalprice"))
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").withColumn(
+        "_li_id", F.monotonically_increasing_id())
+    es = fts.EntitySet("tpch_d3")
+    es.add_dataframe("nation", nation, index="n_nationkey")
+    es.add_dataframe("customer", customer, index="c_custkey")
+    es.add_dataframe("orders", orders, index="o_orderkey",
+                     time_index="o_orderdate")
+    es.add_dataframe("lineitem", lineitem, index="_li_id",
+                     time_index="l_shipdate")
+    es.add_relationship("nation", "n_nationkey", "customer", "c_nationkey")
+    es.add_relationship("customer", "c_custkey", "orders", "o_custkey")
+    es.add_relationship("orders", "o_orderkey", "lineitem", "l_orderkey")
+    feats = fts.dfs(
+        entityset=es, target_dataframe_name="nation", features_only=True,
+        agg_primitives=["sum", "mean", "count"], trans_primitives=[],
+        ignore_columns={
+            "lineitem": ["l_partkey", "l_suppkey", "l_linenumber", "l_tax",
+                         "l_returnflag", "l_linestatus", "l_extendedprice",
+                         "l_discount"],
+            "customer": ["c_name", "c_mktsegment"],
+            "orders": ["o_orderstatus", "o_orderpriority"],
+            "nation": ["n_name", "n_comment"],
+        },
+        max_depth=3,
+    )
+    assert len(feats) == 36, len(feats)
+    fm = fts.calculate_feature_matrix(feats, es, cutoff_time=TPCH_CUTOFF)
+    out = _sel(fm, "n_nationkey", {
+        "n_regionkey": "reg",
+        "MEAN(customer.c_acctbal)": "m_cb",
+        "COUNT(customer)": "c_c",
+        "SUM(orders.o_totalprice)": "s_tp",
+        "SUM(lineitem.l_quantity)": "s_qty",
+        "MEAN(customer.SUM(orders.o_totalprice))": "m_c_stp",
+        "MEAN(customer.COUNT(orders))": "m_c_co",
+        "SUM(customer.MEAN(orders.SUM(lineitem.l_quantity)))": "s_c_mosq",
+        "MEAN(customer.MEAN(orders.MEAN(lineitem.l_quantity)))": "m_c_momq",
+        "MEAN(customer.MEAN(orders.COUNT(lineitem)))": "m_c_mocl",
+        "MEAN(customer.SUM(lineitem.orders.o_totalprice))": "m_c_slotp",
+        "SUM(customer.MEAN(lineitem.orders.o_totalprice))": "s_c_mlotp",
+    })
+    out = _r4(out, ["m_cb", "s_qty", "m_c_stp", "m_c_co", "m_c_slotp"])
+    out = _r4e(out, ["s_c_mosq", "m_c_momq", "m_c_mocl", "s_c_mlotp"])
+    return out
+
+
 def q_use_previous_obs(spark, sf_dir):
     """observation-count window: mean over the last 3 events per user."""
     es = _es_events(spark, sf_dir)
@@ -1127,6 +1187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_transforms": q_window_transforms,
         "dfs_depth1": q_dfs_depth1,
         "dfs_depth2": q_dfs_depth2,
+        "dfs_depth3": q_dfs_depth3,
         "use_previous_obs": q_use_previous_obs,
         "exclude_cutoff": q_exclude_cutoff,
         "engine_transforms": q_engine_transforms,
@@ -1410,6 +1471,74 @@ def oracle_sql() -> dict[str, str]:
             FROM {_U} u
             LEFT JOIN {_EC} e ON e.user_id = u.user_id AND e.ts <= {_EV}
             GROUP BY u.user_id
+        """,
+        "dfs_depth3": f"""
+            -- depth-3 DFS: per-order lineitem aggs (sum default 0),
+            -- re-aggregated per customer (sums/counts default 0,
+            -- means stay null), re-aggregated per nation (outer
+            -- means skip nulls, outer sums coalesce to 0)
+            WITH o AS (
+                SELECT o_orderkey, o_custkey,
+                       CAST(floor(o_totalprice*100 + 0.5) AS BIGINT) AS tp
+                FROM orders WHERE o_orderdate <= {_TP}
+            ),
+            l AS (
+                SELECT l_orderkey, l_quantity
+                FROM lineitem WHERE l_shipdate <= {_TP}
+            ),
+            lo AS (
+                SELECT o.o_orderkey, o.o_custkey, o.tp,
+                       COALESCE(SUM(l.l_quantity), 0) AS s_qty,
+                       AVG(l.l_quantity) AS m_qty,
+                       COUNT(l.l_orderkey) AS c_li
+                FROM o LEFT JOIN l ON l.l_orderkey = o.o_orderkey
+                GROUP BY 1, 2, 3
+            ),
+            co AS (
+                SELECT o_custkey,
+                       CAST(SUM(tp) AS BIGINT) AS s_tp,
+                       CAST(COUNT(*) AS BIGINT) AS c_o,
+                       AVG(s_qty) AS m_o_sqty,
+                       AVG(m_qty) AS m_o_mqty,
+                       AVG(c_li) AS m_o_cli,
+                       SUM(s_qty) AS s_qty_c
+                FROM lo GROUP BY 1
+            ),
+            cl AS (
+                SELECT o.o_custkey,
+                       CAST(SUM(o.tp) AS BIGINT) AS s_lo_tp,
+                       AVG(o.tp) AS m_lo_tp
+                FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+                GROUP BY 1
+            ),
+            cu AS (
+                SELECT c.c_custkey, c.c_nationkey,
+                       CAST(floor(c.c_acctbal*100 + 0.5) AS BIGINT) AS cb,
+                       COALESCE(co.s_tp, 0) AS s_tp,
+                       COALESCE(co.c_o, 0) AS c_o,
+                       co.m_o_sqty, co.m_o_mqty, co.m_o_cli,
+                       COALESCE(co.s_qty_c, 0) AS s_qty_c,
+                       COALESCE(cl.s_lo_tp, 0) AS s_lo_tp,
+                       cl.m_lo_tp
+                FROM customer c
+                LEFT JOIN co ON co.o_custkey = c.c_custkey
+                LEFT JOIN cl ON cl.o_custkey = c.c_custkey
+            )
+            SELECT n.n_nationkey,
+                   n.n_regionkey AS reg,
+                   {_R('AVG(cu.cb)')} AS m_cb,
+                   CAST(COUNT(cu.c_custkey) AS BIGINT) AS c_c,
+                   COALESCE(CAST(SUM(cu.s_tp) AS BIGINT), 0) AS s_tp,
+                   {_R('COALESCE(SUM(cu.s_qty_c), 0)')} AS s_qty,
+                   {_R('AVG(cu.s_tp)')} AS m_c_stp,
+                   {_R('AVG(cu.c_o)')} AS m_c_co,
+                   {_Re('COALESCE(SUM(cu.m_o_sqty), 0)')} AS s_c_mosq,
+                   {_Re('AVG(cu.m_o_mqty)')} AS m_c_momq,
+                   {_Re('AVG(cu.m_o_cli)')} AS m_c_mocl,
+                   {_R('AVG(cu.s_lo_tp)')} AS m_c_slotp,
+                   {_Re('COALESCE(SUM(cu.m_lo_tp), 0)')} AS s_c_mlotp
+            FROM nation n LEFT JOIN cu ON cu.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2
         """,
         "dfs_depth2": f"""
             -- depth-2 DFS walk: every frame PIT-filtered at the cutoff
