@@ -348,19 +348,39 @@ def run_once(sf_dir: str, cpus: int, queries=None) -> dict:
 
 
 def _latest_scaling():
+    """Scaling evidence attached to the headline JSON. Prefers the
+    consolidated BENCH/scaling_summary.json (pooled-first, judge
+    guidance r4); falls back to the most recently MODIFIED raw
+    scaling_cluster_*.json (mtime, not lexicographic — r10 sorts
+    before r4b as a string)."""
     import glob
-    paths = sorted(glob.glob(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH", "scaling_cluster_*.json")))
+    bdir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    summary = os.path.join(bdir, "scaling_summary.json")
+    if os.path.exists(summary):
+        try:
+            with open(summary) as f:
+                d = json.load(f)
+            return {
+                "efficiency": d.get("headline"),
+                "stat": d.get("headline_stat"),
+                "per_rep_median": d.get("per_rep_median_alternated_run"),
+                "best_run": d.get("best_single_run_median_pairing"),
+                "mode": d.get("mode"),
+                "source": "scaling_summary.json",
+            }
+        except Exception:
+            pass
+    paths = glob.glob(os.path.join(bdir, "scaling_cluster_*.json"))
     if not paths:
         return None
+    latest = max(paths, key=os.path.getmtime)
     try:
-        with open(paths[-1]) as f:
+        with open(latest) as f:
             d = json.load(f)
         return {"efficiency": d.get("value"), "mode": d.get("mode"),
                 "reps": d.get("reps"), "t_n_median": d.get("t_n_median"),
                 "t_4n_median": d.get("t_4n_median"),
-                "source": os.path.basename(paths[-1])}
+                "source": os.path.basename(latest)}
     except Exception:
         return None
 
@@ -515,4 +535,24 @@ if __name__ == "__main__":
         names = sys.argv[idx + 1].split(",") if len(sys.argv) > idx + 1 else None
         print(json.dumps(run_once(SF_DIR, CPUS, names)))
     else:
-        print(json.dumps(run_once(SF_DIR, CPUS)))
+        out = run_once(SF_DIR, CPUS)
+        # full result (per-rep times, row counts) goes to a file; the
+        # PRINTED line stays compact so the driver's output-tail
+        # capture can never truncate it mid-dict (BENCH_r04 lesson:
+        # parsed=null because the one JSON line outgrew the tail)
+        detail = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH", "headline_latest.json")
+        try:
+            with open(detail, "w") as f:
+                json.dump(out, f, indent=1)
+            rel_detail = os.path.relpath(
+                detail, os.path.dirname(os.path.abspath(__file__)))
+        except OSError:
+            rel_detail = None
+        compact = {k: out[k] for k in (
+            "metric", "value", "unit", "queries", "sf", "cpus",
+            "feature_rows_per_sec", "flagship", "reps_per_query")}
+        compact["scaling"] = out.get("scaling")
+        if rel_detail:
+            compact["detail_file"] = rel_detail
+        print(json.dumps(compact))

@@ -1240,18 +1240,29 @@ def _apply_pandas_transform(df, prim, in_cols, out_col, order_cols, part_cols):
         )
 
         def fngrp(batches):
-            parts = list(batches)
-            if not parts:
-                return
-            pdf = (_pd.concat(parts, ignore_index=True)
-                   if len(parts) > 1 else parts[0])
-            outs = []
-            # rows arrive sorted by (key, order): each group slice is
-            # already in kernel order — no per-group re-sort
-            for _, g in pdf.groupby(part_cols, sort=False, dropna=False):
-                outs.append(prim.pandas(g, in_cols, out_col, order_cols))
-            if outs:  # a partition of empty Arrow batches yields nothing
-                yield _pd.concat(outs, ignore_index=True)
+            # STREAMING group loop (r5, VERDICT #4): consume Arrow
+            # batches one at a time and cut at group boundaries —
+            # peak memory is one batch + the currently-open GROUP,
+            # not the whole shuffle partition. Rows arrive sorted by
+            # (key, order), so groups are contiguous and appear in
+            # key order; the last group of each batch may continue
+            # into the next batch, so it is held back until a new
+            # key (or end of partition) closes it. Each group slice
+            # is already in kernel order — no per-group re-sort.
+            buf = None
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                if buf is not None and len(buf):
+                    pdf = _pd.concat([buf, pdf], ignore_index=True)
+                groups = list(
+                    pdf.groupby(part_cols, sort=False, dropna=False)
+                )
+                for _, g in groups[:-1]:
+                    yield prim.pandas(g, in_cols, out_col, order_cols)
+                buf = groups[-1][1] if groups else None
+            if buf is not None and len(buf):
+                yield prim.pandas(buf, in_cols, out_col, order_cols)
 
         return ordered.mapInPandas(fngrp, schema)
     # global (no partition key) EWM primitives have a genuinely

@@ -184,3 +184,47 @@ def test_grouped_kernel_null_order_matches_pandas(spark):
     want.index = ref["id"]
     for i in pdf["id"]:
         assert abs(out_grp[i] - want[i]) < 1e-9, (i, out_grp[i], want[i])
+
+
+def test_grouped_kernel_streams_across_arrow_batches(spark):
+    """VERDICT r5 #4: the grouped mapInPandas path streams Arrow
+    batches and cuts at group boundaries (memory bounded by group,
+    not partition). Force tiny Arrow batches so every group spans
+    multiple batches and the held-back open-group buffer is
+    exercised, then check exact pandas parity."""
+    from featuretools_spark.cfm import _apply_pandas_transform
+    from featuretools_spark.primitives.transform import (
+        ExponentialWeightedAverage,
+    )
+
+    rng = np.random.RandomState(11)
+    n = 240
+    pdf = pd.DataFrame({
+        "id": np.arange(n),
+        "grp": np.repeat(np.arange(6), n // 6),   # groups of 40 rows
+        "val": rng.randn(n),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.permutation(n) * 60, unit="s"),
+    })
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch",
+                         None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        sdf = spark.createDataFrame(pdf).repartition(2)
+        prim = ExponentialWeightedAverage(com=0.5)
+        out = _apply_pandas_transform(
+            sdf, prim, ["val"], "ewm", ["ts", "id"], ["grp"]
+        ).toPandas().set_index("id")["ewm"]
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    ref = pdf.sort_values(["ts", "id"], kind="stable")
+    want = ref.groupby("grp")["val"].transform(
+        lambda s: s.ewm(com=0.5).mean())
+    want.index = ref["id"]
+    assert len(out) == n
+    for i in pdf["id"]:
+        assert abs(out[i] - want[i]) < 1e-9, (i, out[i], want[i])
