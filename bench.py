@@ -40,8 +40,11 @@ HEADLINE = [
     "backfill_skew_sm",  # hot-key input through the unsalted kernel
     "backfill_skew_sm_salted",  # ... with explicit salting (salt=8)
     "backfill_dense",    # 64 cutoffs/entity through the join path
-    "backfill_dense_sm", # ... through the kernel (its win case:
-                         # O(events+cutoffs) vs |events| x |cutoffs|)
+    "backfill_dense_sm", # ... through the kernel. r5 RETRACTION: the
+                         # kernel does NOT win dense on this host at
+                         # any measured density (4..256/entity) — see
+                         # BENCH/BASELINE.md round-5 profile; kept as
+                         # the tracking benchmark for that gap
     "holistic_wide",     # 6 holistic prims at per-row cutoffs, batched
                          # (r3: one flag-pass join + one shared counts
                          # subplan instead of one join per primitive)
@@ -70,7 +73,12 @@ def _backfill_queries(sf: float):
     n_rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", 0)) or \
         BACKFILL_ROWS.get(sf, int(sf * 20_000_000) or 20_000)
     max_tok = int(os.environ.get("SPARK_GRAFT_BENCH_MAXTOK", 512))
-    n_entities = max(n_rows // 100, 10)
+    # events per entity (default 100) — the second axis of the
+    # join-vs-kernel crossover (join intermediate rows scale with
+    # events_per_entity x cutoffs_per_entity; the kernel's don't)
+    ev_per_ent = int(os.environ.get("SPARK_GRAFT_BENCH_EVENTS_PER_ENTITY",
+                                    "100"))
+    n_entities = max(n_rows // ev_per_ent, 10)
 
     _cache = {}
 
@@ -160,8 +168,11 @@ def _backfill_queries(sf: float):
 
     def _dense_cutoffs(spark):
         """64 cutoffs per entity: the dense-backfill shape where the
-        kernel's O(events + cutoffs) sweep should beat the join's
-        |events| x |cutoffs| row expansion."""
+        kernel's O(events + cutoffs) sweep was EXPECTED to beat the
+        join's |events| x |cutoffs| row expansion — measured round 5:
+        it does not, at any density up to 256 (the join's codegen
+        processes expanded rows faster than the kernel's per-cutoff
+        Python cost; profile in BENCH/BASELINE.md)."""
         if "dense_cuts" not in _cache:
             path = f"/tmp/ft_bench_densecuts_{n_rows}_{max_tok}"
             try:
@@ -243,6 +254,14 @@ def _backfill_queries(sf: float):
         "backfill_skew_sm_salted":
             lambda spark, sf_dir: run_skew(spark, "sortmerge", salt=8),
         "__prepare__": prepare,
+        # hooks for tools/profile_sortmerge.py (stage decomposition /
+        # density sweep) — not bench queries
+        "__run__": run,
+        "__frames__": lambda spark: {
+            "seqs": _materialized(spark),
+            "cuts": _cutoffs(spark),
+            "ents": _entities(spark),
+        },
     }
 
 

@@ -674,6 +674,13 @@ def _salt_merge_exprs(spec_rows):
     return exprs
 
 
+# When set to a dict (tools/profile_sortmerge.py), _asof_sortmerge
+# records its staged DataFrames so the profiler can time the
+# shuffle+sort input and the kernel output independently of the
+# merge-back. Never set in production paths.
+_DEBUG_CAPTURE = None
+
+
 def _asof_sortmerge(child, key_col, time_col, cutoffs, instance_col, specs,
                     cutoff_col, include_cutoff_time, training_window,
                     n_observations=None, salt=None):
@@ -1077,7 +1084,11 @@ def _asof_sortmerge(child, key_col, time_col, cutoffs, instance_col, specs,
             out[out_name] = res
         yield pd.DataFrame(out)
 
+    if _DEBUG_CAPTURE is not None:
+        _DEBUG_CAPTURE["unioned"] = unioned
     result = unioned.mapInPandas(merge_partition, schema=out_fields)
+    if _DEBUG_CAPTURE is not None:
+        _DEBUG_CAPTURE["kernel_out"] = result
     if salted:
         # ONE JVM merge of the per-salt partials (map-side combinable)
         result = result.groupBy(instance_col, "__t_out").agg(

@@ -2,11 +2,12 @@
 metadata.
 
 The Spark-side plumbing (schemas, batching, partition sizing, UDF
-signatures) is real and tested; the actual codec calls are stubbed —
-the image/audio libraries are not in this container. Each stub either
-raises NotImplementedError (strict mode) or produces a deterministic
-fake derived from the bytes (test mode), so pipelines can be
-exercised end-to-end.
+signatures) is real and tested. Codecs: PNG (r4, this module), WAV
+(r4, this module), and baseline JPEG (r5, ops/jpeg.py) are REAL
+stdlib+numpy implementations; remaining formats (video, exotic image
+codecs) either raise NotImplementedError (strict mode) or produce a
+deterministic fake derived from the bytes (test mode), so pipelines
+can be exercised end-to-end regardless.
 
 Pattern: mapInPandas over an iterator of Arrow batches — binary
 payloads never pass through row-at-a-time Python, and
@@ -220,8 +221,14 @@ def image_features(
                 ]
             for p in pdf[payload_col]:
                 rows["n_bytes"].append(len(p) if p is not None else 0)
-                if p is not None and bytes(p[:8]) == _PNG_MAGIC:
-                    st = decode_png(bytes(p))
+                is_png = p is not None and bytes(p[:8]) == _PNG_MAGIC
+                is_jpg = p is not None and bytes(p[:2]) == b"\xff\xd8"
+                if is_png or is_jpg:
+                    if is_png:
+                        st = decode_png(bytes(p))
+                    else:
+                        from featuretools_spark.ops.jpeg import decode_jpeg
+                        st = decode_jpeg(bytes(p))
                     rows["width"].append(st["width"])
                     rows["height"].append(st["height"])
                     rows["channels"].append(st["channels"])
@@ -234,8 +241,11 @@ def image_features(
                     continue
                 if strict:
                     raise NotImplementedError(
-                        "non-PNG image codec not available in this "
-                        "container — plug PIL/opencv here"
+                        "non-PNG/JPEG image codec not available in "
+                        "this container — plug PIL/opencv here "
+                        "(PNG and baseline JPEG decode via the "
+                        "stdlib codecs in ops/multimodal.py and "
+                        "ops/jpeg.py)"
                     )
                 rows["img_features"].append(_fake_decode(p, n_features))
                 for k in ("width", "height", "channels",

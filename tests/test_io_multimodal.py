@@ -278,3 +278,86 @@ def test_audio_features_real_wav_stats(spark):
     assert got["blob"]["sample_rate"] is None
     wav_only = df.filter("media_id like 'wav%'")
     assert audio_features(wav_only, strict=True).count() == 6
+
+
+def test_jpeg_decode_roundtrip_stats():
+    """Baseline JPEG codec (r5, stdlib+numpy): encode known pixels,
+    decode, and check dimensions exactly and pixel stats within the
+    quantization error — across 4:4:4, 4:2:0, restart markers, odd
+    dimensions, gray and RGB."""
+    import numpy as np
+
+    from featuretools_spark.ops.jpeg import decode_jpeg, encode_jpeg
+
+    h, w = 37, 61
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    rgb = np.stack([(xx * 4) % 256, (yy * 5) % 256,
+                    ((xx + yy) * 2) % 256], axis=-1).astype(np.uint8)
+    gray = ((xx + yy) % 256).astype(np.uint8)
+    cases = [
+        (rgb, {}), (rgb, {"subsample": True}),
+        (rgb, {"restart_interval": 2}),
+        (rgb, {"subsample": True, "restart_interval": 3}),
+        (gray, {}), (gray, {"restart_interval": 1}),
+    ]
+    for arr, kw in cases:
+        st = decode_jpeg(encode_jpeg(arr, quality_scale=8, **kw))
+        nc = 1 if arr.ndim == 2 else 3
+        assert (st["width"], st["height"], st["channels"]) == (w, h, nc), kw
+        assert abs(st["mean_px"] - arr.mean()) < 0.5, kw
+        assert abs(st["std_px"] - arr.std()) < 0.5, kw
+
+    # noise at high quality: still within ~1 gray level
+    rng = np.random.RandomState(0)
+    noisy = rng.randint(0, 256, (24, 24), dtype=np.uint8)
+    st = decode_jpeg(encode_jpeg(noisy, quality_scale=16))
+    assert abs(st["mean_px"] - noisy.mean()) < 1.0
+    assert abs(st["std_px"] - noisy.std()) < 1.0
+
+
+def test_jpeg_decode_rejects_unsupported():
+    import struct
+
+    import pytest
+
+    from featuretools_spark.ops.jpeg import decode_jpeg
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00\x01\x02\x03")
+    # progressive (SOF2) named explicitly
+    prog = b"\xff\xd8\xff\xc2" + struct.pack(">H", 11) + bytes(9)
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(prog)
+    # truncated stream with no SOF/SOS
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xd9")
+
+
+def test_image_features_real_jpeg_stats(spark):
+    """JPEG payloads flow through the SAME mapInPandas path as PNG
+    and return real decoded stats under strict=True."""
+    import numpy as np
+
+    from featuretools_spark.ops.jpeg import encode_jpeg
+    from featuretools_spark.ops.multimodal import image_features
+
+    rows = []
+    truth = {}
+    for i in range(8):
+        h, w = 16 + i, 17 + (i % 4)
+        xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+        arr = np.stack([(xx * (i + 2)) % 256, (yy * 3) % 256,
+                        ((xx + yy)) % 256], axis=-1).astype(np.uint8)
+        mid = f"jpg{i:03d}"
+        rows.append((mid, bytearray(encode_jpeg(
+            arr, quality_scale=8, subsample=(i % 2 == 0)))))
+        truth[mid] = (w, h, arr.astype(float).mean(), arr.astype(float).std())
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    got = {r["media_id"]: r
+           for r in image_features(df, strict=True).collect()}
+    for mid, (w, h, m, s) in truth.items():
+        r = got[mid]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+        assert abs(r["mean_px"] - m) < 0.6, mid
+        assert abs(r["std_px"] - s) < 0.6, mid
+        assert len(r["img_features"]) == 8
