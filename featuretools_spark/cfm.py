@@ -215,7 +215,24 @@ def _calculate_feature_matrix(
     cutoff. Identity/transform/direct features stay exact.
     Returns a DataFrame keyed by (instance, time) + one column per
     feature, named with reference-parity feature names.
+
+    strategy: "join" (default) | "sortmerge" | "auto". "auto" maps to
+    "join" — the round-5 profile (BENCH/BASELINE.md, stage
+    decomposition + density sweeps at 100 and 1000 events/entity,
+    4..256 cutoffs/entity) measured that the join path's
+    partial-aggregate shuffle beats the kernel's full-row
+    shuffle+sort at EVERY density, so there is no throughput regime
+    where an auto-router should flip. Pass "sortmerge" explicitly
+    for its structural niches: explicit hot-key salting (salt=) and
+    the O(partition) flat-array memory bound when the join's
+    (entity, cutoff) hash state would spill.
     """
+    if strategy == "auto":
+        strategy = "join"
+    if strategy not in ("join", "sortmerge"):
+        raise ValueError(
+            f"unknown strategy {strategy!r}: use 'join', 'sortmerge', "
+            "or 'auto'")
     es = entityset or _find_es(features)
     target = features[0].entity
     for f in features:

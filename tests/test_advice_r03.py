@@ -168,3 +168,33 @@ def test_holistic_over_stacked_per_row_cutoffs(spark, es):
                 else:
                     assert abs(float(x) - float(y)) < 1e-9, (
                         r["c_custkey"], t, want, have)
+
+
+def test_strategy_auto_routes_to_pure_jvm_join(spark, es):
+    """Round-5 router policy as code: strategy="auto" must produce
+    the join path's pure-JVM plan (no Python stages) for plain
+    aggregations — the measured density sweeps found no throughput
+    regime where the kernel wins, so auto == join. Unknown strategy
+    names raise."""
+    import datetime as dt
+
+    import pytest
+
+    import featuretools_spark as fts
+    from featuretools_spark.features import (
+        AggregationFeature, IdentityFeature,
+    )
+
+    val = IdentityFeature(es, "events", "value")
+    agg = AggregationFeature(val, "users", "sum", es=es)
+    fm = fts.calculate_feature_matrix(
+        [agg], es, cutoff_time=dt.datetime(2024, 3, 1), strategy="auto")
+    plan = fm._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan and "FlatMapGroupsInPandas" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert fm.count() > 0
+
+    with pytest.raises(ValueError, match="unknown strategy"):
+        fts.calculate_feature_matrix(
+            [agg], es, cutoff_time=dt.datetime(2024, 3, 1),
+            strategy="hash")
