@@ -1114,6 +1114,46 @@ def q_audio_features(spark, sf_dir):
                       "n_samples", "duration_s")
 
 
+def q_video_features(spark, sf_dir):
+    """Video path end-to-end (NEW r5): deterministic MJPEG-in-AVI
+    videos generated per doc_id in one mapInPandas (in-repo baseline
+    JPEG encoder + RIFF/AVI writer, ops/avi.py), then parsed by the
+    REAL stdlib container decoder in a second — strict mode, no stub.
+    Oracle columns are pure arithmetic on doc_id (frame counts,
+    rational fps, duration), witnessing that the container round-trips
+    through Arrow and the parser reads the movi chunk list it was
+    given; frame PIXEL correctness vs the encoder input is
+    pytest-gated (test_io_multimodal), same split as audio_features."""
+    import numpy as np
+    import pandas as pd
+
+    from featuretools_spark.ops.multimodal import video_features
+    from featuretools_spark.ops.avi import encode_avi_mjpeg
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            payloads = []
+            for i in ids:
+                nf = 2 + int(i) % 4
+                frames = [
+                    np.full((8, 16), (37 * int(i) + 29 * f) % 256,
+                            np.uint8)
+                    for f in range(nf)
+                ]
+                payloads.append(encode_avi_mjpeg(frames, fps=5.0))
+            yield pd.DataFrame({"media_id": ids.astype(str),
+                                "payload": payloads})
+
+    media = docs.mapInPandas(gen, "media_id string, payload binary")
+    out = video_features(media, strict=True)
+    return out.select("media_id", "width", "height", "n_frames",
+                      "fps", "duration_s")
+
+
 def q_direct_chain(spark, sf_dir):
     """Multi-hop direct chain region -> nation -> customer: the bare
     2-hop direct (nation.region.r_name) plus a transform-of-direct at
@@ -1218,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "direct_chain": q_direct_chain,
         "audio_features": q_audio_features,
+        "video_features": q_video_features,
     }
 
 
@@ -2117,6 +2158,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(8000 AS INTEGER) AS sample_rate,
                    CAST(2000 + (doc_id % 7) * 500 AS BIGINT) AS n_samples,
                    (2000 + (doc_id % 7) * 500) / 8000.0 AS duration_s
+            FROM documents
+        """,
+        "video_features": """
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   CAST(16 AS INTEGER) AS width,
+                   CAST(8 AS INTEGER) AS height,
+                   CAST(2 + doc_id % 4 AS INTEGER) AS n_frames,
+                   CAST(5.0 AS DOUBLE) AS fps,
+                   (2 + doc_id % 4) / 5.0 AS duration_s
             FROM documents
         """,
         "dedup_clusters": """

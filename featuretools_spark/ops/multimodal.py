@@ -4,10 +4,11 @@ metadata.
 The Spark-side plumbing (schemas, batching, partition sizing, UDF
 signatures) is real and tested. Codecs: PNG (r4, this module), WAV
 (r4, this module), and baseline JPEG (r5, ops/jpeg.py) are REAL
-stdlib+numpy implementations; remaining formats (video, exotic image
-codecs) either raise NotImplementedError (strict mode) or produce a
-deterministic fake derived from the bytes (test mode), so pipelines
-can be exercised end-to-end regardless.
+stdlib+numpy implementations, and MJPEG-in-AVI video (r5,
+ops/avi.py) rides the JPEG decoder; remaining formats (other video
+containers, exotic image codecs) either raise NotImplementedError
+(strict mode) or produce a deterministic fake derived from the bytes
+(test mode), so pipelines can be exercised end-to-end regardless.
 
 Pattern: mapInPandas over an iterator of Arrow batches — binary
 payloads never pass through row-at-a-time Python, and
@@ -372,6 +373,54 @@ def audio_features(
     return df.select(id_col, payload_col).mapInPandas(extract, out_schema)
 
 
+def video_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    strict: bool = False,
+) -> DataFrame:
+    """Per-video container metadata, batched via mapInPandas.
+
+    MJPEG-in-AVI payloads get a REAL parse (ops/avi.py, stdlib RIFF
+    walk): width/height come from the avih header, n_frames is the
+    counted movi chunk list cross-checked against dwTotalFrames, fps
+    is the stream-header dwRate/dwScale rational. Other containers:
+    strict=True raises NotImplementedError (no ffmpeg in this
+    container), strict=False yields NULL stats with the byte length
+    so the plumbing is exercised for every format."""
+    from featuretools_spark.ops.avi import decode_avi, is_avi
+
+    out_schema = (
+        f"{id_col} string, n_bytes int, width int, height int, "
+        "n_frames int, fps double, duration_s double"
+    )
+    keys = ("width", "height", "n_frames", "fps", "duration_s")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict = {id_col: pdf[id_col].astype(str), "n_bytes": []}
+            for k in keys:
+                rows[k] = []
+            for p in pdf[payload_col]:
+                rows["n_bytes"].append(len(p) if p is not None else 0)
+                if is_avi(p):
+                    st = decode_avi(bytes(p))
+                    for k in keys:
+                        rows[k].append(st[k])
+                    continue
+                if strict:
+                    raise NotImplementedError(
+                        "non-AVI video container not available in this "
+                        "container — plug ffmpeg here (MJPEG-in-AVI "
+                        "decodes via the stdlib codec in ops/avi.py)"
+                    )
+                for k in keys:
+                    rows[k].append(None)
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, payload_col).mapInPandas(extract, out_schema)
+
+
 def frame_sample(
     df: DataFrame,
     payload_col: str = "payload",
@@ -379,9 +428,22 @@ def frame_sample(
     every_s: float = 1.0,
     strict: bool = False,
 ) -> DataFrame:
-    """Video frame sampling stub: emits one row per sampled frame with
-    (media_id, frame_idx, frame_t, frame_features). Real impl would
-    call ffmpeg per Arrow batch."""
+    """Video frame sampling: emits one row per sampled frame with
+    (media_id, frame_idx, frame_t, frame_features).
+
+    MJPEG-in-AVI payloads get the REAL path: the container's own
+    fps/frame-count (ops/avi.py) choose the frame indices nearest
+    each every_s tick, and ONLY those frames are JPEG-decoded (the
+    movi walk skips undecoded frames byte-wise) — frame_features is
+    then [width, height, channels, bit_depth, mean_px, std_px,
+    jpeg_bytes, frame_idx] of the decoded frame. Non-AVI payloads:
+    strict=True
+    raises (no ffmpeg in container); strict=False keeps the
+    deterministic fake so the plumbing stays testable per format."""
+    from featuretools_spark.ops.avi import (
+        decode_jpeg, is_avi, iter_avi_frames,
+    )
+
     out_schema = (
         f"{id_col} string, frame_idx int, frame_t double, "
         "frame_features array<float>"
@@ -389,13 +451,44 @@ def frame_sample(
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError("video codec not in container")
             rows = {"media_id": [], "frame_idx": [], "frame_t": [],
                     "frame_features": []}
             for mid, payload, dur in zip(
                 pdf[id_col], pdf[payload_col], pdf["duration_s"]
             ):
+                if is_avi(payload):
+                    from featuretools_spark.ops.avi import decode_avi
+
+                    meta = decode_avi(bytes(payload))
+                    fps, nf = meta["fps"], meta["n_frames"]
+                    # one frame per every_s tick, snapped to nearest
+                    # container frame, deduplicated in stream order
+                    want, t = [], 0.0
+                    while t < meta["duration_s"] and len(want) < 1024:
+                        idx = min(int(round(t * fps)), nf - 1)
+                        if not want or idx > want[-1][0]:
+                            want.append((idx, t))
+                        t += every_s
+                    want_map = dict(want)
+                    for i, jpg in enumerate(iter_avi_frames(payload)):
+                        if i not in want_map:
+                            continue
+                        st = decode_jpeg(jpg)
+                        rows["media_id"].append(str(mid))
+                        rows["frame_idx"].append(i)
+                        rows["frame_t"].append(want_map[i])
+                        rows["frame_features"].append([
+                            float(st["width"]), float(st["height"]),
+                            float(st["channels"]), float(st["bit_depth"]),
+                            st["mean_px"], st["std_px"],
+                            float(len(jpg)), float(i),
+                        ])
+                    continue
+                if strict:
+                    raise NotImplementedError(
+                        "non-AVI video codec not in container — "
+                        "MJPEG-in-AVI decodes via ops/avi.py"
+                    )
                 n_frames = max(int((dur or 0.0) / every_s), 1)
                 for i in range(min(n_frames, 16)):
                     rows["media_id"].append(str(mid))

@@ -1557,13 +1557,54 @@ class SavgolFilter(_PandasKernelTransform):
     def pandas(self, pdf, in_cols, out_col, order_cols):
         try:
             from scipy.signal import savgol_filter as _sg
-        except ImportError as exc:  # scipy not in this container
-            raise NotImplementedError(
-                "savgol_filter needs scipy (not installed here)"
-            ) from exc
+        except ImportError:  # scipy not in this container: numpy LSQ
+            pdf[out_col] = _savgol_numpy(
+                pdf[in_cols[0]].values, self.window_length, self.polyorder
+            )
+            return pdf
         pdf[out_col] = _sg(pdf[in_cols[0]].values, self.window_length,
                            self.polyorder)
         return pdf
+
+
+def _savgol_numpy(y, window_length, polyorder):
+    """Savitzky-Golay smoothing (deriv=0, scipy mode='interp') from
+    first principles: the filtered value at each point is the value at
+    that point of the least-squares polynomial of degree `polyorder`
+    fitted to the surrounding `window_length` samples. Interior points
+    use the centered-window weights (one pinv row, applied as a
+    sliding correlation); the first/last half-window points are read
+    off the polynomial fitted to the first/last full window — exactly
+    scipy's 'interp' edge rule (reference savgol_filter.py:11 wraps
+    scipy with these defaults). Exact on inputs that are polynomials
+    of degree <= polyorder, which the tests assert."""
+    import numpy as _np
+
+    y = _np.asarray(y, dtype=float)
+    n, w, p = len(y), int(window_length), int(polyorder)
+    if w % 2 != 1 or w < 1:
+        raise ValueError("window_length must be a positive odd number")
+    if p >= w:
+        raise ValueError("polyorder must be less than window_length")
+    if n < w:  # scipy mode='interp' contract
+        raise ValueError(
+            "If mode is 'interp', window_length must be less than or "
+            "equal to the size of x."
+        )
+    h = w // 2
+    # centered-window weights: value at x=0 of the LSQ fit over
+    # x = -h..h is the first row of pinv(Vandermonde)
+    x = _np.arange(w, dtype=float) - h
+    weights = _np.linalg.pinv(_np.vander(x, p + 1, increasing=True))[0]
+    out = _np.empty(n)
+    out[h:n - h] = _np.correlate(y, weights, mode="valid")
+    # edges: one polynomial per end, fitted to the full first/last
+    # window and evaluated at the half-window positions it covers
+    xe = _np.arange(w, dtype=float)
+    ve = _np.vander(xe, p + 1, increasing=True)
+    out[:h] = ve[:h] @ _np.linalg.lstsq(ve, y[:w], rcond=None)[0]
+    out[n - h:] = (ve @ _np.linalg.lstsq(ve, y[-w:], rcond=None)[0])[w - h:]
+    return out
 
 
 # ----------------------------------------------------------------------

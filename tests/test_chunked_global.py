@@ -115,3 +115,56 @@ def test_cfm_routes_rolling_outlier_via_chunks(spark):
     ids = pdf.sort_values(["ts", "id"])["id"].to_numpy()
     got = np.array([np.nan if rows[i] is None else rows[i] for i in ids])
     assert np.allclose(got, exp, equal_nan=True)
+
+
+# ----------------------------------------------------------------------
+# savgol_filter numpy fallback (scipy not in this container): the
+# kernel is a first-principles LSQ polynomial filter — assert the
+# defining properties, then halo-chunked == single-frame.
+# ----------------------------------------------------------------------
+def test_savgol_numpy_classical_weights():
+    """w=5, p=3 central weights are the textbook [-3,12,17,12,-3]/35."""
+    from featuretools_spark.primitives.transform import _savgol_numpy
+
+    # impulse response of the interior filter reads the weights back
+    y = np.zeros(11)
+    y[5] = 35.0
+    out = _savgol_numpy(y, 5, 3)
+    assert np.allclose(out[3:8], [-3, 12, 17, 12, -3])
+
+
+def test_savgol_numpy_polynomial_exact_and_contracts():
+    """Exact on polynomials of degree <= polyorder (including the
+    'interp' edge fits), and scipy's error contracts hold."""
+    from featuretools_spark.primitives.transform import _savgol_numpy
+
+    t = np.linspace(0.0, 1.0, 60)
+    y = 3 * t**3 - 2 * t**2 + t - 5
+    assert np.allclose(_savgol_numpy(y, 7, 3), y, atol=1e-10)
+    for w, p in [(4, 3), (5, 5), (0, 0)]:
+        with pytest.raises(ValueError):
+            _savgol_numpy(y, w, p)
+    with pytest.raises(ValueError):
+        _savgol_numpy(y[:5], 7, 3)  # mode='interp' needs n >= window
+
+
+def test_savgol_chunked_parity(spark):
+    """SavgolFilter through the halo plumbing == single-frame, on a
+    noisy series; edges are polynomial fits kept only at true ends."""
+    from featuretools_spark.primitives.transform import SavgolFilter
+
+    rng = np.random.RandomState(7)
+    n = 3000
+    pdf = pd.DataFrame({
+        "id": np.arange(n),
+        "x": np.sin(np.arange(n) / 25.0) + rng.normal(0, 0.05, n),
+    })
+    prim = SavgolFilter(window_length=9, polyorder=3)
+    df = spark.createDataFrame(pdf)
+    out = (
+        bounded_window_global(df, prim, ["x"], "y", ["id"],
+                              *prim.halo(), num_partitions=16)
+        .orderBy("id").toPandas()
+    )
+    exp = _single_frame(prim, pdf, ["x"], "y", ["id"])
+    assert np.allclose(out["y"].to_numpy(), exp, atol=1e-9)
