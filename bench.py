@@ -318,12 +318,28 @@ def run_once(sf_dir: str, cpus: int, queries=None) -> dict:
     # DataFrame from the query fn — fresh RDD lineage, so Spark cannot
     # reuse the previous rep's shuffle files and every rep pays the
     # full plan. Reported: median per query + per-rep times.
+    #
+    # Rep ordering is ROUND-ROBIN across queries (VERDICT r5 #1: port
+    # the scaling protocol's interleaving into the per-query path):
+    # back-to-back reps of one query all sit in the same wall-clock
+    # window, so a host-contention burst lands entirely on that query
+    # (r5 recorded per_row_cutoffs reps 11.2/7.18/2.49 — a 4.5x
+    # intra-run spread). Spreading each query's reps across the whole
+    # run gives every query the same mean wall-clock position, so
+    # ambient drift averages out of the medians instead of
+    # concentrating in whichever query ran during the burst.
+    # SPARK_GRAFT_BENCH_COOLDOWN adds an idle pause (seconds) before
+    # every timed rep for protocol-grade runs; default 0 keeps the
+    # driver's per-round bench fast.
     qreps = int(os.environ.get("SPARK_GRAFT_BENCH_QREPS",
                                "3" if queries is None else "1"))
-    secs, rows, reps_out = {}, {}, {}
-    for name in names:
-        ts = []
-        for rep in range(qreps):
+    cooldown = float(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN", "0"))
+    secs, rows = {}, {}
+    reps_out = {name: [] for name in names}
+    for rep in range(qreps):
+        for name in names:
+            if cooldown:
+                time.sleep(cooldown)
             t0 = time.time()
             df = qs[name](spark, sf_dir)
             # noop write forces EVERY column to materialize; the row
@@ -334,10 +350,10 @@ def run_once(sf_dir: str, cpus: int, queries=None) -> dict:
             obs = Observation(f"rows_{name}_{rep}")
             df.observe(obs, F.count(F.lit(1)).alias("n")).write.format(
                 "noop").mode("overwrite").save()
-            ts.append(round(time.time() - t0, 3))
+            reps_out[name].append(round(time.time() - t0, 3))
             rows[name] = obs.get["n"]
-        secs[name] = round(_median(ts), 3)
-        reps_out[name] = ts
+    for name in names:
+        secs[name] = round(_median(reps_out[name]), 3)
     total = round(sum(secs.values()), 3)
     # feature-rows/sec for the flagship as-of backfill: output rows ×
     # feature columns per second (the BASELINE.json metric)
@@ -359,6 +375,8 @@ def run_once(sf_dir: str, cpus: int, queries=None) -> dict:
         "flagship": flag,
         "query_reps": reps_out,
         "reps_per_query": qreps,
+        "rep_order": "round_robin",
+        "cooldown_s": cooldown,
         # latest committed scaling-protocol evidence (north rule §N->4N);
         # produced by `python bench.py --scaling`, full context in
         # BENCH/BASELINE.md

@@ -525,8 +525,33 @@ _KERNEL_PRIMS = {
     "avg_time_between", "first_last_time_delta", "trend",
     "num_true", "percent_true", "any", "all",
 }
-# kernel outputs are double except the boolean reducers
+# kernel outputs are double except the boolean reducers and the
+# count family (cast back to long at the merge boundary for schema
+# parity with the join strategy)
 _KERNEL_BOOL = {"any", "all"}
+_KERNEL_INT = {"count", "num_true"}
+_INTEGRAL_T = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _kernel_parity_type(spec, child_types: dict) -> str | None:
+    """Output type the JOIN strategy would produce for this spec when
+    it differs from the kernel's native double — strategy="auto" may
+    route the same call to either path by data size, so the result
+    schema must not depend on the router's choice. None = the kernel
+    type already matches. Integer casts are lossless (counts/sums of
+    integrals are exact in double far past any window size); decimal
+    inputs keep the kernel's double rather than faking decimal
+    precision the kernel never had."""
+    p = spec.primitive.name
+    if p in _KERNEL_INT:
+        return "long"
+    it = child_types.get(spec.input_cols[0]) if spec.input_cols else None
+    if p == "sum" and it in _INTEGRAL_T:
+        return "long"        # Spark widens integral sums to bigint
+    if p in ("min", "max", "first", "last") and it \
+            and it != "double" and not it.startswith("decimal"):
+        return it            # join path preserves the input type
+    return None
 _NUMERIC_TYPES = (
     "byte", "short", "integer", "long", "float", "double", "decimal",
     "boolean",
@@ -1097,4 +1122,16 @@ def _asof_sortmerge(child, key_col, time_col, cutoffs, instance_col, specs,
     result = result.withColumn(
         cutoff_col, F.timestamp_micros(F.col("__t_out"))
     ).drop("__t_out")
+    # schema parity with the join strategy: the kernel computes every
+    # numeric reducer in doubles (flat arrays); cast each output back
+    # to the type the join path would produce (_kernel_parity_type) —
+    # strategy="auto" may pick either path by data size, so the dtype
+    # must not depend on the router's choice
+    child_t = dict(child.dtypes)
+    casts = {s.out_name: _kernel_parity_type(s, child_t) for s in specs}
+    result = result.select(*[
+        F.col(f"`{c}`").cast(casts[c]).alias(c)
+        if casts.get(c) else F.col(f"`{c}`")
+        for c in result.columns
+    ])
     return _fill_defaults(result, specs)

@@ -172,6 +172,147 @@ def _needed_columns(es, feats) -> dict:
     return need
 
 
+# ----------------------------------------------------------------------
+# strategy="auto" pre-flight (round 6, VERDICT r5 #3): the 10x stress
+# probe located the join path's 100x knee at the FINAL (entity, cutoff)
+# hash aggregation — its state is |cutoff pairs| x feature width and,
+# unlike the map-side partials, cannot be combined away. Escalation
+# ladder when the per-task slice of that state would cross the
+# executor's execution-memory budget:
+#   1. raise the shuffle width (state is hash-partitioned by the group
+#      key, so width dilutes per-task state linearly; AQE coalesces
+#      the extra partitions back for every SMALL stage, so
+#      over-provisioning costs little)
+#   2. if the width needed exceeds FT_SPARK_AUTO_MAX_PARTS, flip to
+#      the sortmerge kernel: its memory is O(events per partition)
+#      flat arrays, independent of cutoff density.
+# Reference analog: the memory guardrail in featuretools'
+# computational_backends/utils.py:193-206 (n_jobs x chunk memory vs
+# system memory warning) — here it ACTS instead of warning.
+# ----------------------------------------------------------------------
+
+#: decision record of the most recent strategy="auto" pre-flight —
+#: {"strategy", "reason", "state_bytes", "budget_bytes_per_task",
+#:  "parts_before", "parts_after", "n_pairs", "n_agg_feats"}
+LAST_PREFLIGHT: dict = {}
+
+
+def _escalation_decision(state_bytes: int, budget_bytes_per_task: int,
+                         current_parts: int, max_parts: int) -> dict:
+    """Pure decision core (unit-testable without a SparkSession).
+
+    Returns {"strategy": "join"|"sortmerge", "parts": int|None,
+    "reason": str}: parts is the escalated shuffle width when the
+    current one would overflow the per-task budget, None when no
+    change is needed."""
+    budget = max(budget_bytes_per_task, 1)
+    per_task = state_bytes / max(current_parts, 1)
+    if per_task <= budget:
+        return {
+            "strategy": "join", "parts": None,
+            "reason": (
+                f"join hash-agg state ~{state_bytes >> 20} MiB over "
+                f"{current_parts} tasks = {int(per_task) >> 10} KiB/task "
+                f"within budget {budget >> 20} MiB/task"),
+        }
+    needed = -(-state_bytes // budget)          # ceil
+    if needed <= max_parts:
+        return {
+            "strategy": "join", "parts": int(needed),
+            "reason": (
+                f"join hash-agg state ~{state_bytes >> 20} MiB would put "
+                f"{int(per_task) >> 20} MiB on each of {current_parts} "
+                f"tasks (budget {budget >> 20} MiB/task); raising shuffle "
+                f"width to {needed}"),
+        }
+    return {
+        "strategy": "sortmerge", "parts": None,
+        "reason": (
+            f"join hash-agg state ~{state_bytes >> 20} MiB needs "
+            f"{needed} partitions to fit {budget >> 20} MiB/task "
+            f"(> FT_SPARK_AUTO_MAX_PARTS={max_parts}); sortmerge kernel "
+            "bounds memory at O(events/partition) instead"),
+    }
+
+
+def _task_memory_budget(spark) -> int:
+    """Conservative per-task execution-memory budget in bytes:
+    heap x spark.memory.fraction x (execution half of the unified
+    region) / concurrent tasks, halved again as safety. Heap comes
+    from spark.executor.memory when set (cluster), else the driver
+    JVM's Runtime.maxMemory() (local mode, where tasks share it)."""
+    import os
+    ov = os.environ.get("FT_SPARK_AUTO_TASK_BUDGET_BYTES")
+    if ov:
+        return int(ov)
+    heap = None
+    mem = spark.conf.get("spark.executor.memory", None)
+    if mem and spark.sparkContext.master.startswith(
+            ("local-cluster", "spark://", "yarn", "k8s")):
+        units = {"k": 10, "m": 20, "g": 30, "t": 40}
+        m = str(mem).strip().lower()
+        if m[-1] in units:
+            heap = int(float(m[:-1])) << units[m[-1]]
+        else:
+            heap = int(m)
+        cores = int(spark.conf.get("spark.executor.cores", "1"))
+    else:
+        heap = int(str(
+            spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+            .maxMemory()))
+        cores = spark.sparkContext.defaultParallelism
+    frac = float(spark.conf.get("spark.memory.fraction", "0.6"))
+    return int(heap * frac * 0.5 / max(cores, 1) * 0.5)
+
+
+def _resolve_auto_strategy(spark, base_keys: DataFrame,
+                           n_agg_feats: int) -> str:
+    """Run the pre-flight estimator and APPLY its decision: returns
+    the resolved strategy, raising spark.sql.shuffle.partitions (and
+    the AQE initial width, which is what AQE actually starts from)
+    session-wide when the ladder's first rung fires. The conf change
+    is sticky by design — the DataFrame executes lazily, after this
+    function returns — and is logged with the reason."""
+    import logging
+    import os
+
+    log = logging.getLogger("featuretools_spark.auto")
+    if os.environ.get("FT_SPARK_AUTO_PREFLIGHT", "1") == "0":
+        LAST_PREFLIGHT.clear()
+        LAST_PREFLIGHT.update({"strategy": "join",
+                               "reason": "preflight disabled by env"})
+        return "join"
+    # the cutoff table is an INPUT (usually a parquet scan): counting
+    # it is metadata-cheap relative to the backfill it gates, and only
+    # strategy="auto" pays it
+    n_pairs = base_keys.count()
+    key_b = int(os.environ.get("FT_SPARK_AUTO_KEY_BYTES", "64"))
+    feat_b = int(os.environ.get("FT_SPARK_AUTO_STATE_BYTES_PER_FEAT", "48"))
+    state = n_pairs * (key_b + feat_b * max(n_agg_feats, 1))
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    max_parts = int(os.environ.get("FT_SPARK_AUTO_MAX_PARTS", "32768"))
+    budget = _task_memory_budget(spark)
+    d = _escalation_decision(state, budget, parts, max_parts)
+    LAST_PREFLIGHT.clear()
+    LAST_PREFLIGHT.update({
+        "strategy": d["strategy"], "reason": d["reason"],
+        "state_bytes": state, "budget_bytes_per_task": budget,
+        "parts_before": parts, "parts_after": d["parts"] or parts,
+        "n_pairs": n_pairs, "n_agg_feats": n_agg_feats,
+    })
+    if d["parts"]:
+        spark.conf.set("spark.sql.shuffle.partitions", str(d["parts"]))
+        spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(d["parts"]))
+        log.warning("strategy=auto escalation: %s", d["reason"])
+    elif d["strategy"] == "sortmerge":
+        log.warning("strategy=auto escalation: %s", d["reason"])
+    else:
+        log.info("strategy=auto: %s", d["reason"])
+    return d["strategy"]
+
+
 def calculate_feature_matrix(*args, **kwargs) -> DataFrame:
     """Public entry: manages the shared-scan cache across the call and
     its recursive stacked sub-calls, then delegates to the engine."""
@@ -216,20 +357,28 @@ def _calculate_feature_matrix(
     Returns a DataFrame keyed by (instance, time) + one column per
     feature, named with reference-parity feature names.
 
-    strategy: "join" (default) | "sortmerge" | "auto". "auto" maps to
-    "join" — the round-5 profile (BENCH/BASELINE.md, stage
-    decomposition + density sweeps at 100 and 1000 events/entity,
-    4..256 cutoffs/entity) measured that the join path's
-    partial-aggregate shuffle beats the kernel's full-row
+    strategy: "join" (default) | "sortmerge" | "auto". "auto" picks
+    "join" for throughput — the round-5 profile (BENCH/BASELINE.md,
+    stage decomposition + density sweeps at 100 and 1000
+    events/entity, 4..256 cutoffs/entity) measured that the join
+    path's partial-aggregate shuffle beats the kernel's full-row
     shuffle+sort at EVERY density, so there is no throughput regime
-    where an auto-router should flip. Pass "sortmerge" explicitly
-    for its structural niches: explicit hot-key salting (salt=) and
-    the O(partition) flat-array memory bound when the join's
-    (entity, cutoff) hash state would spill.
+    where an auto-router should flip — but additionally runs the
+    round-6 PRE-FLIGHT MEMORY ESTIMATOR at the knee the 10x stress
+    probe named: the join's final (entity, cutoff) hash-agg state is
+    |cutoff pairs| x feature width, and once the per-task slice of
+    that state crosses the executor's execution-memory budget the
+    plan spills (then OOMs). The estimator sizes the state from the
+    cutoff-table row count, first RAISES the shuffle width so each
+    task's slice fits (state is hash-partitioned by the group key,
+    so width dilutes it), and only if the needed width is absurd
+    (> FT_SPARK_AUTO_MAX_PARTS) flips to "sortmerge", whose memory
+    is O(events per partition) flat arrays, independent of cutoff
+    density. Decision + reason are logged and recorded in
+    cfm.LAST_PREFLIGHT. Pass "sortmerge" explicitly for its other
+    structural niche: explicit hot-key salting (salt=).
     """
-    if strategy == "auto":
-        strategy = "join"
-    if strategy not in ("join", "sortmerge"):
+    if strategy not in ("join", "sortmerge", "auto"):
         raise ValueError(
             f"unknown strategy {strategy!r}: use 'join', 'sortmerge', "
             "or 'auto'")
@@ -301,6 +450,9 @@ def _calculate_feature_matrix(
         if not isinstance(f, (AggregationFeature, DirectFeature))
         and f.get_name() not in mt_names
     ]
+    if strategy == "auto":
+        strategy = _resolve_auto_strategy(
+            base_keys.sparkSession, base_keys, len(agg_feats))
     scalar_ctx = (scalar_cutoff, include_cutoff_time, training_window,
                   strategy)
 
@@ -1226,6 +1378,52 @@ def _materialize_features(es, table, df, feats, time_col,
     return df, [results[f.get_name()] for f in feats]
 
 
+def _kernel_nparts(df) -> int:
+    """Shuffle width for the grouped pandas kernel, scaled with INPUT
+    SIZE instead of pinned to spark.sql.shuffle.partitions (VERDICT
+    r5 #3 watch item / r6 #4): the static width packs linearly more
+    groups per partition as data grows — memory stays bounded (the
+    group loop streams Arrow batches), but parallelism and straggler
+    smoothing don't. Width = sum of the optimized plan's LEAF scan
+    size estimates (no job runs) / FT_SPARK_KERNEL_PART_BYTES
+    (default 64 MiB), floored at the session shuffle width — never
+    fewer partitions than any other agg would get — and capped at
+    FT_SPARK_KERNEL_MAX_PARTS (default 32768).
+
+    Leaf sum, NOT the plan root's sizeInBytes: Catalyst propagates
+    size estimates MULTIPLICATIVELY through joins, so the root stat
+    of the CFM's multi-join plan overshoots by orders of magnitude —
+    and an explicit repartition(n, cols) is a user-specified width
+    that AQE does NOT coalesce back, so an overshoot here becomes
+    tens of thousands of real Python-worker tasks on a toy input
+    (observed: a 150-row test spun 32768 tasks). File-scan leaves
+    carry actual file bytes; local relations carry actual row bytes.
+    Leaves with NO statistics (LogicalRDD — any createDataFrame /
+    Arrow / checkpoint boundary) report the defaultSizeInBytes
+    sentinel (~Long.MaxValue); those are EXCLUDED from the sum — an
+    unknown-sized input contributes the floor, never the cap. No
+    real scan is an exabyte, so believable = < 2^60 bytes."""
+    import os
+
+    floor = int(df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "200"))
+    target = int(os.environ.get("FT_SPARK_KERNEL_PART_BYTES",
+                                str(64 << 20)))
+    cap = int(os.environ.get("FT_SPARK_KERNEL_MAX_PARTS", "32768"))
+    try:
+        leaves = (df._jdf.queryExecution().optimizedPlan()
+                  .collectLeaves())
+        size = 0
+        it = leaves.iterator()
+        while it.hasNext():
+            s = int(str(it.next().stats().sizeInBytes()))
+            if s < 1 << 60:
+                size += s
+    except Exception:
+        return floor
+    return max(floor, min(-(-size // target), cap))
+
+
 def _apply_pandas_transform(df, prim, in_cols, out_col, order_cols, part_cols):
     from pyspark.sql import types as T
 
@@ -1242,8 +1440,7 @@ def _apply_pandas_transform(df, prim, in_cols, out_col, order_cols, part_cols):
         # partition, the same contract as the sortmerge kernel.
         import pandas as _pd
 
-        nparts = int(df.sparkSession.conf.get(
-            "spark.sql.shuffle.partitions", "200"))
+        nparts = _kernel_nparts(df)
         # explicit nulls-LAST ordering to match pandas sort_values
         # (the global path's NaN/NaT placement); Spark's default is
         # nulls-first and would feed kernels a different row order

@@ -82,6 +82,8 @@ def decode_avi(payload: bytes) -> dict:
         if list_type == b"hdrl":
             for fc2, b2, s2 in _chunks(payload, body + 4, body + size):
                 if fc2 == b"avih":
+                    if len(payload) < b2 + 56:
+                        raise ValueError("corrupt AVI: truncated avih")
                     avih = struct.unpack("<14I", payload[b2:b2 + 56])
                 elif fc2 == b"LIST" and payload[b2:b2 + 4] == b"strl":
                     for fc3, b3, s3 in _chunks(payload, b2 + 4, b2 + s2):
@@ -100,6 +102,9 @@ def decode_avi(payload: bytes) -> dict:
                                     f"video handler {handler!r} is not "
                                     "MJPG (only Motion-JPEG supported)"
                                 )
+                            if len(payload) < b3 + 52:
+                                raise ValueError(
+                                    "corrupt AVI: truncated strh")
                             strh = struct.unpack(
                                 "<8I", payload[b3 + 20:b3 + 52]
                             )  # dwScale..dwSampleSize

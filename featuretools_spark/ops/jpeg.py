@@ -160,6 +160,46 @@ def decode_jpeg(payload: bytes) -> dict:
     frame = None      # (precision, h, w, comps)
     restart_interval = 0
     scan = None
+    try:
+        frame, scan, restart_interval = _parse_headers(
+            d, pos, qt, huff_dc, huff_ac)
+    except (IndexError, struct.error) as e:
+        # a lying segment length can under-fill a parsed structure;
+        # the documented contract is ValueError naming the problem
+        raise ValueError(f"corrupt JPEG: truncated marker segment ({e})")
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF0 or SOS")
+    h, w, comps = frame
+    scomps, data_pos = scan
+    by_id = {c["id"]: c for c in comps}
+    # validate table ids BEFORE entropy decode: a scan referencing an
+    # undefined Huffman/quantization table must raise the documented
+    # ValueError, not KeyError mid-decode
+    for c in comps:
+        if c["tq"] not in qt:
+            raise ValueError(
+                f"corrupt JPEG: missing DQT table {c['tq']}")
+    for sc in scomps:
+        if sc["id"] not in by_id:
+            raise ValueError(
+                f"corrupt JPEG: scan references undefined component "
+                f"{sc['id']}")
+        if sc["dc"] not in huff_dc:
+            raise ValueError(
+                f"corrupt JPEG: missing DC DHT table {sc['dc']}")
+        if sc["ac"] not in huff_ac:
+            raise ValueError(
+                f"corrupt JPEG: missing AC DHT table {sc['ac']}")
+    return _decode_scan(d, frame, scomps, data_pos, qt, huff_dc,
+                        huff_ac, restart_interval)
+
+
+def _parse_headers(d, pos, qt, huff_dc, huff_ac):
+    """Walk marker segments up to SOS; fills the table dicts in place,
+    returns (frame, scan, restart_interval)."""
+    frame = None
+    scan = None
+    restart_interval = 0
     while pos + 4 <= len(d):
         if d[pos] != 0xFF:
             raise ValueError("corrupt JPEG: expected marker")
@@ -168,6 +208,10 @@ def decode_jpeg(payload: bytes) -> dict:
             break
         seglen = struct.unpack(">H", d[pos + 2:pos + 4])[0]
         seg = d[pos + 4:pos + 2 + seglen]
+        if len(seg) < seglen - 2:
+            raise ValueError(
+                f"corrupt JPEG: truncated marker segment 0x{m:02X} "
+                f"(declared {seglen - 2} bytes, {len(seg)} present)")
         if m == 0xDB:          # DQT
             i = 0
             while i < len(seg):
@@ -214,10 +258,13 @@ def decode_jpeg(payload: bytes) -> dict:
             scan = (scomps, pos + 2 + seglen)
             break
         pos += 2 + seglen
-    if frame is None or scan is None:
-        raise ValueError("JPEG missing SOF0 or SOS")
+    return frame, scan, restart_interval
+
+
+def _decode_scan(d, frame, scomps, data_pos, qt, huff_dc, huff_ac,
+                 restart_interval):
+    """Entropy-decode the (validated) scan and compute pixel stats."""
     h, w, comps = frame
-    scomps, data_pos = scan
     by_id = {c["id"]: c for c in comps}
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)

@@ -224,12 +224,25 @@ def image_features(
                 rows["n_bytes"].append(len(p) if p is not None else 0)
                 is_png = p is not None and bytes(p[:8]) == _PNG_MAGIC
                 is_jpg = p is not None and bytes(p[:2]) == b"\xff\xd8"
+                st = None
                 if is_png or is_jpg:
-                    if is_png:
-                        st = decode_png(bytes(p))
-                    else:
-                        from featuretools_spark.ops.jpeg import decode_jpeg
-                        st = decode_jpeg(bytes(p))
+                    # a payload can match the magic yet be malformed:
+                    # strict=False must still yield the fake/NULL row
+                    # (the docstring contract — pipelines run
+                    # regardless of format), not fail the Spark stage
+                    try:
+                        if is_png:
+                            st = decode_png(bytes(p))
+                        else:
+                            from featuretools_spark.ops.jpeg import (
+                                decode_jpeg,
+                            )
+                            st = decode_jpeg(bytes(p))
+                    except ValueError:
+                        if strict:
+                            raise
+                        st = None
+                if st is not None:
                     rows["width"].append(st["width"])
                     rows["height"].append(st["height"])
                     rows["channels"].append(st["channels"])
@@ -280,6 +293,8 @@ def decode_wav(payload: bytes) -> dict:
         (clen,) = struct.unpack("<I", payload[pos + 4:pos + 8])
         body = payload[pos + 8:pos + 8 + clen]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("corrupt WAV: truncated fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body
@@ -357,11 +372,19 @@ def audio_features(
             for p in pdf[payload_col]:
                 rows["n_bytes"].append(len(p) if p is not None else 0)
                 if p is not None and bytes(p[:4]) == b"RIFF":
-                    st = decode_wav(bytes(p))
-                    for k in keys:
-                        rows[k].append(st[k])
-                    continue
-                if strict:
+                    # malformed RIFF under strict=False degrades to the
+                    # NULL row (docstring contract), never a stage fail
+                    try:
+                        st = decode_wav(bytes(p))
+                    except ValueError:
+                        if strict:
+                            raise
+                        st = None
+                    if st is not None:
+                        for k in keys:
+                            rows[k].append(st[k])
+                        continue
+                elif strict:
                     raise NotImplementedError(
                         "non-WAV audio codec not available in this "
                         "container — plug torchaudio/ffmpeg here"
@@ -404,11 +427,19 @@ def video_features(
             for p in pdf[payload_col]:
                 rows["n_bytes"].append(len(p) if p is not None else 0)
                 if is_avi(p):
-                    st = decode_avi(bytes(p))
-                    for k in keys:
-                        rows[k].append(st[k])
-                    continue
-                if strict:
+                    # malformed AVI under strict=False degrades to the
+                    # NULL row (docstring contract), never a stage fail
+                    try:
+                        st = decode_avi(bytes(p))
+                    except ValueError:
+                        if strict:
+                            raise
+                        st = None
+                    if st is not None:
+                        for k in keys:
+                            rows[k].append(st[k])
+                        continue
+                elif strict:
                     raise NotImplementedError(
                         "non-AVI video container not available in this "
                         "container — plug ffmpeg here (MJPEG-in-AVI "
@@ -427,6 +458,7 @@ def frame_sample(
     id_col: str = "media_id",
     every_s: float = 1.0,
     strict: bool = False,
+    max_ticks: int = 1024,
 ) -> DataFrame:
     """Video frame sampling: emits one row per sampled frame with
     (media_id, frame_idx, frame_t, frame_features).
@@ -436,10 +468,19 @@ def frame_sample(
     each every_s tick, and ONLY those frames are JPEG-decoded (the
     movi walk skips undecoded frames byte-wise) — frame_features is
     then [width, height, channels, bit_depth, mean_px, std_px,
-    jpeg_bytes, frame_idx] of the decoded frame. Non-AVI payloads:
-    strict=True
-    raises (no ffmpeg in container); strict=False keeps the
-    deterministic fake so the plumbing stays testable per format."""
+    jpeg_bytes, frame_idx] of the decoded frame.
+
+    max_ticks caps the number of every_s sampling ticks PER VIDEO
+    (default 1024): a long video with a small every_s is truncated at
+    that many sampled frames, not covered end-to-end. Truncation is
+    detectable — the last emitted frame_t is (max_ticks-1)*every_s
+    while the video's duration_s extends beyond it; raise max_ticks
+    (it bounds per-row decode work and output fan-out) to cover more.
+
+    Non-AVI payloads: strict=True raises (no ffmpeg in container);
+    strict=False keeps the deterministic fake so the plumbing stays
+    testable per format. A malformed AVI-magic payload likewise falls
+    back to the fake under strict=False."""
     from featuretools_spark.ops.avi import (
         decode_jpeg, is_avi, iter_avi_frames,
     )
@@ -459,32 +500,48 @@ def frame_sample(
                 if is_avi(payload):
                     from featuretools_spark.ops.avi import decode_avi
 
-                    meta = decode_avi(bytes(payload))
-                    fps, nf = meta["fps"], meta["n_frames"]
-                    # one frame per every_s tick, snapped to nearest
-                    # container frame, deduplicated in stream order
-                    want, t = [], 0.0
-                    while t < meta["duration_s"] and len(want) < 1024:
-                        idx = min(int(round(t * fps)), nf - 1)
-                        if not want or idx > want[-1][0]:
-                            want.append((idx, t))
-                        t += every_s
-                    want_map = dict(want)
-                    for i, jpg in enumerate(iter_avi_frames(payload)):
-                        if i not in want_map:
-                            continue
-                        st = decode_jpeg(jpg)
-                        rows["media_id"].append(str(mid))
-                        rows["frame_idx"].append(i)
-                        rows["frame_t"].append(want_map[i])
-                        rows["frame_features"].append([
-                            float(st["width"]), float(st["height"]),
-                            float(st["channels"]), float(st["bit_depth"]),
-                            st["mean_px"], st["std_px"],
-                            float(len(jpg)), float(i),
-                        ])
-                    continue
-                if strict:
+                    try:
+                        meta = decode_avi(bytes(payload))
+                        fps, nf = meta["fps"], meta["n_frames"]
+                        # one frame per every_s tick, snapped to
+                        # nearest container frame, deduplicated in
+                        # stream order; tick count capped at max_ticks
+                        # (see docstring — truncation, not coverage)
+                        want, t = [], 0.0
+                        while t < meta["duration_s"] and \
+                                len(want) < max_ticks:
+                            idx = min(int(round(t * fps)), nf - 1)
+                            if not want or idx > want[-1][0]:
+                                want.append((idx, t))
+                            t += every_s
+                        want_map = dict(want)
+                        decoded = []
+                        for i, jpg in enumerate(iter_avi_frames(payload)):
+                            if i not in want_map:
+                                continue
+                            st = decode_jpeg(jpg)
+                            decoded.append((i, jpg, st))
+                    except ValueError:
+                        # malformed AVI-magic payload: strict=False
+                        # falls through to the fake row (docstring
+                        # contract), never fails the Spark stage
+                        if strict:
+                            raise
+                        decoded = None
+                    if decoded is not None:
+                        for i, jpg, st in decoded:
+                            rows["media_id"].append(str(mid))
+                            rows["frame_idx"].append(i)
+                            rows["frame_t"].append(want_map[i])
+                            rows["frame_features"].append([
+                                float(st["width"]), float(st["height"]),
+                                float(st["channels"]),
+                                float(st["bit_depth"]),
+                                st["mean_px"], st["std_px"],
+                                float(len(jpg)), float(i),
+                            ])
+                        continue
+                elif strict:
                     raise NotImplementedError(
                         "non-AVI video codec not in container — "
                         "MJPEG-in-AVI decodes via ops/avi.py"

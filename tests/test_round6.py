@@ -1,0 +1,399 @@
+"""Round-6 additions: strategy="auto" pre-flight escalation (VERDICT
+r5 #3), input-scaled grouped-kernel shuffle width (#4), strict=False
+media fallback + corrupt-codec ValueError contracts (ADVICE r5), and
+the witness-oracle corpus-margin guard (ADVICE r5 #4)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import featuretools_spark as fts
+from featuretools_spark import cfm
+from featuretools_spark.datagen import (
+    make_cutoffs, make_entities, make_sequences,
+)
+from featuretools_spark.features import AggregationFeature, IdentityFeature
+
+SF_GATE = "/root/testdata/sf0.01"   # the driver's correctness-gate SF
+
+
+# ----------------------------------------------------------------------
+# escalation decision core (pure, no Spark)
+# ----------------------------------------------------------------------
+def test_escalation_within_budget_keeps_join():
+    d = cfm._escalation_decision(
+        state_bytes=1 << 27,            # 128 MiB
+        budget_bytes_per_task=1 << 26,  # 64 MiB/task
+        current_parts=32, max_parts=32768)
+    assert d["strategy"] == "join" and d["parts"] is None
+
+
+def test_escalation_raises_width_at_first_rung():
+    # 64 GiB of hash state over 32 tasks = 2 GiB/task >> 64 MiB budget
+    d = cfm._escalation_decision(
+        state_bytes=64 << 30, budget_bytes_per_task=64 << 20,
+        current_parts=32, max_parts=32768)
+    assert d["strategy"] == "join"
+    assert d["parts"] == 1024           # ceil(64 GiB / 64 MiB)
+    assert "raising shuffle width" in d["reason"]
+
+
+def test_escalation_flips_to_sortmerge_past_max_parts():
+    d = cfm._escalation_decision(
+        state_bytes=64 << 30, budget_bytes_per_task=64 << 20,
+        current_parts=32, max_parts=512)
+    assert d["strategy"] == "sortmerge"
+    assert "sortmerge" in d["reason"]
+
+
+def test_escalation_width_is_monotone_in_state():
+    widths = [
+        cfm._escalation_decision(s, 64 << 20, 8, 1 << 30)["parts"] or 8
+        for s in (1 << 28, 1 << 32, 1 << 36, 1 << 40)
+    ]
+    assert widths == sorted(widths) and widths[-1] > widths[0]
+
+
+# ----------------------------------------------------------------------
+# strategy="auto" end-to-end: decision recorded, results identical
+# ----------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def auto_es(spark):
+    seqs = make_sequences(spark, n_rows=3000, n_entities=60).cache()
+    ents = make_entities(seqs)
+    es = fts.EntitySet("auto")
+    es.add_dataframe("entities", ents, index="entity_id",
+                     time_index="first_seen")
+    es.add_dataframe("sequences", seqs, index="doc_id",
+                     time_index="event_time")
+    es.add_relationship("entities", "entity_id", "sequences", "entity_id")
+    cuts = make_cutoffs(spark, seqs, per_entity=3).cache()
+    n_tok = IdentityFeature(es, "sequences", "n_tok")
+    feats = [
+        AggregationFeature(
+            IdentityFeature(es, "sequences", "doc_id"), "entities",
+            "count", es=es),
+        AggregationFeature(n_tok, "entities", "sum", es=es),
+        AggregationFeature(n_tok, "entities", "mean", es=es),
+    ]
+    return es, cuts, feats
+
+
+def _fm_rows(fm, cols):
+    return sorted(
+        (r["entity_id"], str(r["time"]), *(round(r[c] or 0, 6) for c in cols))
+        for r in fm.collect()
+    )
+
+
+def test_auto_small_input_stays_join_no_conf_change(spark, auto_es):
+    es, cuts, feats = auto_es
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    fts.calculate_feature_matrix(feats, es, cutoff_time=cuts,
+                                 strategy="auto").count()
+    assert cfm.LAST_PREFLIGHT["strategy"] == "join"
+    assert cfm.LAST_PREFLIGHT["parts_after"] == \
+        cfm.LAST_PREFLIGHT["parts_before"]
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_auto_escalates_width_under_tiny_budget(spark, auto_es):
+    """Force the first rung: a tiny per-task budget makes the pre-flight
+    raise the shuffle width; results must equal the plain join path."""
+    es, cuts, feats = auto_es
+    cols = [f.get_name() for f in feats]
+    want = _fm_rows(
+        fts.calculate_feature_matrix(feats, es, cutoff_time=cuts,
+                                     strategy="join"), cols)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    os.environ["FT_SPARK_AUTO_TASK_BUDGET_BYTES"] = "4096"
+    try:
+        fm = fts.calculate_feature_matrix(feats, es, cutoff_time=cuts,
+                                          strategy="auto")
+        got = _fm_rows(fm, cols)
+    finally:
+        os.environ.pop("FT_SPARK_AUTO_TASK_BUDGET_BYTES")
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert cfm.LAST_PREFLIGHT["strategy"] == "join"
+    assert cfm.LAST_PREFLIGHT["parts_after"] > \
+        cfm.LAST_PREFLIGHT["parts_before"]
+    assert got == want
+
+
+def test_auto_flips_to_sortmerge_past_max_parts(spark, auto_es):
+    """Second rung: budget so small the needed width exceeds
+    FT_SPARK_AUTO_MAX_PARTS -> the router flips to the sortmerge
+    kernel; results must still equal the join path."""
+    es, cuts, feats = auto_es
+    cols = [f.get_name() for f in feats]
+    want = _fm_rows(
+        fts.calculate_feature_matrix(feats, es, cutoff_time=cuts,
+                                     strategy="join"), cols)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    os.environ["FT_SPARK_AUTO_TASK_BUDGET_BYTES"] = "16"
+    os.environ["FT_SPARK_AUTO_MAX_PARTS"] = "64"
+    try:
+        fm = fts.calculate_feature_matrix(feats, es, cutoff_time=cuts,
+                                          strategy="auto")
+        got = _fm_rows(fm, cols)
+    finally:
+        os.environ.pop("FT_SPARK_AUTO_TASK_BUDGET_BYTES")
+        os.environ.pop("FT_SPARK_AUTO_MAX_PARTS")
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert cfm.LAST_PREFLIGHT["strategy"] == "sortmerge"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert got == want
+
+
+# ----------------------------------------------------------------------
+# grouped-kernel shuffle width scales with input size
+# ----------------------------------------------------------------------
+def test_strategy_schema_parity_count_is_long(spark, auto_es):
+    """strategy="auto" may route the SAME call to either path by data
+    size, so the result schema must not depend on the router: the
+    kernel casts count-family outputs back to long at the merge
+    boundary (asof._KERNEL_INT) to match the join path's bigint."""
+    es, cuts, feats = auto_es
+    dj = dict(fts.calculate_feature_matrix(
+        feats, es, cutoff_time=cuts, strategy="join").dtypes)
+    ds = dict(fts.calculate_feature_matrix(
+        feats, es, cutoff_time=cuts, strategy="sortmerge").dtypes)
+    assert dj == ds
+    assert dj["COUNT(sequences)"] == "bigint"
+
+
+def test_kernel_nparts_grows_with_input(spark):
+    os.environ["FT_SPARK_KERNEL_PART_BYTES"] = str(1 << 12)  # 4 KiB
+    try:
+        small = cfm._kernel_nparts(spark.range(10))
+        big = cfm._kernel_nparts(spark.range(1_000_000))
+    finally:
+        os.environ.pop("FT_SPARK_KERNEL_PART_BYTES")
+    floor = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert small == floor            # never below the session width
+    assert big > small               # and grows with input bytes
+    # cap guard
+    os.environ["FT_SPARK_KERNEL_PART_BYTES"] = "1"
+    os.environ["FT_SPARK_KERNEL_MAX_PARTS"] = "100"
+    try:
+        assert cfm._kernel_nparts(spark.range(1_000_000)) == 100
+    finally:
+        os.environ.pop("FT_SPARK_KERNEL_PART_BYTES")
+        os.environ.pop("FT_SPARK_KERNEL_MAX_PARTS")
+
+
+def test_kernel_nparts_ignores_join_multiplied_estimates(spark):
+    """Regression: Catalyst propagates sizeInBytes MULTIPLICATIVELY
+    through joins, so the plan-root stat of a multi-join plan
+    overshoots by orders of magnitude — and repartition(n, cols) is a
+    user width AQE will not coalesce, so the overshoot became 32768
+    real tasks on a 150-row test. _kernel_nparts must size from the
+    LEAF scans: a self-join chain over a tiny input stays at the
+    session floor no matter how many joins the plan stacks."""
+    import pyspark.sql.functions as F
+
+    a = spark.range(100).withColumn("k", F.col("id") % 10)
+    j = a
+    for i in range(4):
+        j = j.join(a.select("k", F.col("id").alias(f"id{i}")), "k")
+    os.environ["FT_SPARK_KERNEL_PART_BYTES"] = str(64 << 20)
+    try:
+        got = cfm._kernel_nparts(j)
+    finally:
+        os.environ.pop("FT_SPARK_KERNEL_PART_BYTES")
+    assert got == int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+
+def test_kernel_nparts_ignores_statless_rdd_leaves(spark):
+    """Regression: a LogicalRDD leaf (any createDataFrame / Arrow /
+    checkpoint boundary — e.g. the test suites' cutoff DataFrames)
+    has no statistics and reports the defaultSizeInBytes sentinel;
+    summing it drove the kernel width straight to the 32768 cap on a
+    150-row input. Unknown-sized leaves must contribute the floor."""
+    pdf = spark.createDataFrame(
+        [(i, float(i)) for i in range(50)], "k long, v double")
+    leaves = pdf._jdf.queryExecution().optimizedPlan().collectLeaves()
+    it, has_rdd_leaf = leaves.iterator(), False
+    while it.hasNext():
+        n = it.next()
+        if "RDD" in n.nodeName():
+            has_rdd_leaf = True
+    got = cfm._kernel_nparts(pdf)
+    floor = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if has_rdd_leaf:
+        assert got == floor
+    else:  # environment materialized it as LocalRelation: still tiny
+        assert got == floor
+
+
+# ----------------------------------------------------------------------
+# strict=False fallback on MALFORMED magic-matching payloads (ADVICE)
+# ----------------------------------------------------------------------
+def _one_payload_df(spark, payload):
+    return spark.createDataFrame(
+        [("m1", payload, 1.0)], "media_id string, payload binary, "
+        "duration_s double")
+
+
+def test_malformed_jpeg_magic_falls_back_non_strict(spark):
+    from featuretools_spark.ops.multimodal import image_features
+
+    df = _one_payload_df(spark, b"\xff\xd8not really a jpeg at all")
+    row = image_features(df, strict=False).collect()[0]
+    assert row["width"] is None and row["img_features"] is not None
+    with pytest.raises(Exception, match="corrupt JPEG|not a JPEG"):
+        image_features(df, strict=True).collect()
+
+
+def test_malformed_riff_falls_back_non_strict(spark):
+    from featuretools_spark.ops.multimodal import (
+        audio_features, frame_sample, video_features,
+    )
+
+    wav = _one_payload_df(spark, b"RIFF\x10\x00\x00\x00WAVEjunk")
+    row = audio_features(wav, strict=False).collect()[0]
+    assert row["sample_rate"] is None and row["n_bytes"] > 0
+
+    avi = _one_payload_df(spark, b"RIFF\x10\x00\x00\x00AVI junk")
+    row = video_features(avi, strict=False).collect()[0]
+    assert row["width"] is None and row["n_bytes"] > 0
+    # frame_sample: malformed AVI falls back to the deterministic fake
+    rows = frame_sample(avi, strict=False).collect()
+    assert len(rows) >= 1 and rows[0]["frame_features"] is not None
+    with pytest.raises(Exception, match="corrupt AVI|AVI missing"):
+        video_features(avi, strict=True).collect()
+
+
+def test_wav_magic_on_avi_payload_yields_null_row(spark):
+    """audio_features' RIFF sniff also matches AVI payloads; decode_wav
+    rejects them with ValueError -> NULL row under strict=False."""
+    import numpy as np
+
+    from featuretools_spark.ops.avi import encode_avi_mjpeg
+    from featuretools_spark.ops.multimodal import audio_features
+
+    frames = [np.full((16, 16), 100, dtype=np.uint8)]
+    df = _one_payload_df(spark, encode_avi_mjpeg(frames, fps=2.0))
+    row = audio_features(df, strict=False).collect()[0]
+    assert row["sample_rate"] is None and row["n_bytes"] > 0
+
+
+def test_corrupt_jpeg_raises_valueerror_not_keyerror():
+    import numpy as np
+
+    from featuretools_spark.ops.jpeg import decode_jpeg, encode_jpeg
+
+    img = (np.arange(32 * 32 * 3).reshape(32, 32, 3) % 251).astype("uint8")
+    b = bytearray(encode_jpeg(img))
+    i = b.find(b"\xff\xda")
+    b[i + 6] = 0x77  # scan references DC table 7 / AC table 7: undefined
+    with pytest.raises(ValueError, match="missing DC DHT table 7"):
+        decode_jpeg(bytes(b))
+    with pytest.raises(ValueError, match="truncated|corrupt JPEG"):
+        decode_jpeg(bytes(b[:24]))
+
+
+def test_frame_sample_max_ticks_caps_and_is_detectable(spark):
+    import numpy as np
+
+    from featuretools_spark.ops.avi import encode_avi_mjpeg
+    from featuretools_spark.ops.multimodal import frame_sample
+
+    frames = [np.full((16, 16), 40 + 10 * i, dtype=np.uint8)
+              for i in range(12)]
+    df = _one_payload_df(spark, encode_avi_mjpeg(frames, fps=4.0))
+    # 12 frames at 4 fps = 3 s; every 0.25 s wants 12 ticks -> cap at 5
+    rows = frame_sample(df, every_s=0.25, max_ticks=5).collect()
+    assert len(rows) == 5
+    # truncation is detectable: last tick time < duration
+    assert max(r["frame_t"] for r in rows) == pytest.approx(4 * 0.25)
+    full = frame_sample(df, every_s=0.25).collect()   # default cap 1024
+    assert len(full) == 12
+
+
+# ----------------------------------------------------------------------
+# witness-oracle corpus margins (ADVICE r5 #4): the minhash/simhash
+# oracles equal the exact pair set only because the driver corpus has
+# a Jaccard margin around the 0.5 threshold and a >=1-bit hamming
+# margin under max_hamming=10. Assert those margins HERE so a future
+# corpus regeneration fails THIS test (data changed) instead of
+# presenting as an engine regression in the oracle gate.
+# ----------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def doc_pairs_j5():
+    import duckdb
+
+    con = duckdb.connect()
+    return con.execute(f"""
+        WITH d AS (SELECT * FROM read_parquet(
+            '{SF_GATE}/documents.parquet')),
+        sh AS (
+            SELECT doc_id, list_distinct(list_transform(
+                range(1, greatest(length(lower(text)) - 4, 1) + 1),
+                i -> substring(lower(text), i::INT, 5))) AS s
+            FROM d
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.s, b.s))::DOUBLE
+               / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    """).fetchall()
+
+
+def test_minhash_witness_margin_gap(doc_pairs_j5):
+    """No pair may sit in the LSH dead zone (0.45, 0.85): qualifying
+    pairs must be well ABOVE threshold 0.5 (banding recall ~1 there)
+    and everything else well BELOW it."""
+    in_gap = [(a, b, j) for a, b, j in doc_pairs_j5 if 0.45 < j < 0.85]
+    assert not in_gap, (
+        "driver corpus changed: pairs inside the witness margin gap "
+        f"(0.45, 0.85): {in_gap[:5]} — the minhash_dedup oracle's "
+        "exact-equality claim no longer holds BY CONSTRUCTION; this is "
+        "a DATA change, not an engine regression")
+
+
+def test_simhash_witness_margin(spark):
+    """Every pair with exact 7-gram Jaccard >= 0.5 must sit at hamming
+    <= 9 under the engine's 64-bit simhash — one bit of margin below
+    the oracle's max_hamming=10 blocking bound."""
+    import duckdb
+
+    from featuretools_spark.ops.dedup import hamming_distance, simhash64
+
+    con = duckdb.connect()
+    close = con.execute(f"""
+        WITH d AS (SELECT * FROM read_parquet(
+            '{SF_GATE}/documents.parquet')),
+        sh AS (
+            SELECT doc_id, list_distinct(list_transform(
+                range(1, greatest(length(lower(text)) - 6, 1) + 1),
+                i -> substring(lower(text), i::INT, 7))) AS s
+            FROM d
+        )
+        SELECT a.doc_id, b.doc_id
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s, b.s))::DOUBLE
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+              >= 0.5
+    """).fetchall()
+    assert close, "corpus lost its planted near-dup pairs entirely"
+    docs = spark.read.parquet(f"{SF_GATE}/documents.parquet")
+    sig = simhash64(docs, "doc_id", "text")
+    a = sig.alias("a")
+    b = sig.alias("b")
+    ham = {
+        (r["ia"], r["ib"]): r["h"]
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("ia"),
+                F.col("b.doc_id").alias("ib"),
+                hamming_distance(F.col("a.simhash"),
+                                 F.col("b.simhash")).alias("h"))
+        .collect()
+    }
+    bad = [(ia, ib, ham[(ia, ib)]) for ia, ib in close
+           if ham[(ia, ib)] > 9]
+    assert not bad, (
+        f"driver corpus changed: qualifying pairs at hamming > 9: {bad} "
+        "— the simhash_dedup oracle's blocking margin is gone; DATA "
+        "change, not an engine regression")
