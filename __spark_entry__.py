@@ -1206,6 +1206,33 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+def q_corr_matrix(spark, sf_dir):
+    """One-pass Gram-matrix pairwise-complete Pearson correlation
+    (NEW r6, encode.py:_corr_matrix_gram): four p x p GEMM partials
+    per partition via mapInArrow (pair-valid counts, masked sums /
+    square sums, cross products), treeReduce, closed form — the scale
+    path behind remove_highly_correlated_features(method="gram"),
+    whose pairwise-F.corr plan is quadratic in width (~500k agg
+    expressions at 1k columns). Oracle: DuckDB corr() per pair on the
+    same lineitem columns. Greedy drop-set equivalence vs the
+    pairwise path is pytest-gated (test_round6)."""
+    from featuretools_spark.encode import _corr_matrix_gram
+
+    import math
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(*cols)
+    m = _corr_matrix_gram(li, cols)
+    rows = [
+        # same half-up 4-decimal quantization as the oracle's _R
+        (cols[i], cols[j],
+         math.floor(float(m[i, j]) * 10000 + 0.5) / 10000)
+        for i in range(len(cols)) for j in range(i + 1, len(cols))
+    ]
+    return spark.createDataFrame(
+        rows, "col_a string, col_b string, corr double")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_dfs_depth1(spark, "/root/testdata/sf0.001")
@@ -1259,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "direct_chain": q_direct_chain,
         "audio_features": q_audio_features,
         "video_features": q_video_features,
+        "corr_matrix": q_corr_matrix,
     }
 
 
@@ -2159,6 +2187,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(2000 + (doc_id % 7) * 500 AS BIGINT) AS n_samples,
                    (2000 + (doc_id % 7) * 500) / 8000.0 AS duration_s
             FROM documents
+        """,
+        "corr_matrix": f"""
+            SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                   {_R('corr(l_quantity, l_extendedprice)')} AS corr
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', 'l_discount',
+                   {_R('corr(l_quantity, l_discount)')} FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', 'l_tax',
+                   {_R('corr(l_quantity, l_tax)')} FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', 'l_discount',
+                   {_R('corr(l_extendedprice, l_discount)')} FROM lineitem
+            UNION ALL
+            SELECT 'l_extendedprice', 'l_tax',
+                   {_R('corr(l_extendedprice, l_tax)')} FROM lineitem
+            UNION ALL
+            SELECT 'l_discount', 'l_tax',
+                   {_R('corr(l_discount, l_tax)')} FROM lineitem
         """,
         "video_features": """
             SELECT CAST(doc_id AS VARCHAR) AS media_id,

@@ -128,22 +128,66 @@ def remove_low_information_features(
     return feature_matrix.drop(*drop)
 
 
+#: widest matrix the pairwise-F.corr plan handles comfortably: above
+#: this, n(n-1)/2 aggregate expressions blow up codegen (1k columns
+#: would be ~500k expressions in ONE plan) and the Gram path takes over
+_CORR_PAIRWISE_MAX = 64
+#: driver/task guard for the Gram path: partials are 4 * p^2 doubles
+_CORR_GRAM_MAX_COLS = 4096
+
+
 def remove_highly_correlated_features(
     feature_matrix: DataFrame, pct_corr_threshold: float = 0.95,
-    keys: list[str] | None = None,
+    keys: list[str] | None = None, method: str = "auto",
 ) -> DataFrame:
     """Drop the LATER column of each numeric pair with
     |corr| >= threshold (reference selection.py:102 keeps the earlier
-    feature). Pairwise F.corr in one aggregate pass."""
+    feature).
+
+    method: "pairwise" | "gram" | "auto".
+    - pairwise: n(n-1)/2 F.corr expressions in one aggregate pass —
+      optimal for narrow matrices, quadratic PLAN size in width.
+    - gram: ONE mapInArrow pass computes four p x p GEMM partials per
+      partition (pair-valid counts V'V, masked sums Xf'V, masked
+      square sums (Xf^2)'V, cross products Xf'Xf — Xf is the matrix
+      with nulls zero-filled, V the validity indicator, so every
+      pairwise-complete Pearson term is a matrix product, same
+      design as Spark MLlib's RowMatrix.computeCovariance), partials
+      tree-reduce to the driver, and the p x p correlation matrix
+      falls out in closed form. Plan size is O(1) in width; work per
+      partition is 4 BLAS GEMMs. Pairwise-complete null semantics
+      match F.corr's pair-row filtering.
+    - auto: pairwise up to _CORR_PAIRWISE_MAX columns, gram above.
+    """
     keys = set(keys or [])
     cols = _numeric_cols(feature_matrix, exclude=keys)
     if len(cols) < 2:
         return feature_matrix
+    if method == "auto":
+        method = "pairwise" if len(cols) <= _CORR_PAIRWISE_MAX else "gram"
+    if method == "gram":
+        corr = _corr_matrix_gram(feature_matrix, cols)
+        drop = set()
+        for i in range(len(cols)):
+            if cols[i] in drop:
+                continue
+            for j in range(i + 1, len(cols)):
+                if cols[j] in drop:
+                    continue
+                c = corr[i, j]
+                if c == c and abs(c) != float("inf") \
+                        and abs(c) >= pct_corr_threshold:
+                    drop.add(cols[j])
+        return feature_matrix.drop(*drop)
+    if method != "pairwise":
+        raise ValueError(f"unknown corr method {method!r}: "
+                         "use 'pairwise', 'gram', or 'auto'")
     pairs = [
         (i, j) for i in range(len(cols)) for j in range(i + 1, len(cols))
     ]
     aggs = [
-        F.corr(_qcol(cols[i]).cast("double"), _qcol(cols[j]).cast("double"))
+        _pair_corr_expr(_qcol(cols[i]).cast("double"),
+                        _qcol(cols[j]).cast("double"))
         .alias(f"c_{i}_{j}")
         for i, j in pairs
     ]
@@ -153,6 +197,93 @@ def remove_highly_correlated_features(
         if cols[i] in drop or cols[j] in drop:
             continue
         c = stats[f"c_{i}_{j}"]
-        if c is not None and abs(c) >= pct_corr_threshold:
+        # None (no variance / no complete rows) and NaN both mean
+        # "no usable correlation": never a drop
+        if c is not None and c == c and abs(c) >= pct_corr_threshold:
             drop.add(cols[j])
     return feature_matrix.drop(*drop)
+
+
+def _pair_corr_expr(x, y):
+    """Pairwise-complete Pearson correlation as ONE aggregate column.
+    Not F.corr: under Spark 4's default ANSI mode F.corr raises
+    DIVIDE_BY_ZERO when a pair has no variance (any constant column
+    crashes the whole selection pass); these moment expressions give
+    NULL there instead — the same contract as DuckDB/pandas corr.
+    Catalyst dedups the repeated per-column moments across pairs."""
+    both = x.isNotNull() & y.isNotNull()
+    xm, ym = F.when(both, x), F.when(both, y)
+    n = F.count(xm).cast("double")
+    sx, sy = F.sum(xm), F.sum(ym)
+    cov = F.sum(xm * ym) - sx * sy / n
+    vx = F.greatest(F.sum(xm * xm) - sx * sx / n, F.lit(0.0))
+    vy = F.greatest(F.sum(ym * ym) - sy * sy / n, F.lit(0.0))
+    return F.try_divide(cov, F.sqrt(vx * vy))
+
+
+def _corr_matrix_gram(df: DataFrame, cols: list[str]):
+    """Pairwise-complete Pearson correlation matrix for `cols` in one
+    distributed pass; returns a p x p numpy array (NaN where a pair
+    has no variance or no complete rows).
+
+    Partials per Arrow batch (accumulated per partition, X the
+    batch as a rows x p float64 block, V = ~isnan(X), Xf = X with
+    NaN->0):
+        N  = V'V    pair-complete row counts
+        A  = Xf'V   A[i,j] = sum of x_i over rows where BOTH valid
+        B  = (Xf*Xf)'V
+        C  = Xf'Xf  cross products (zero rows drop out by masking)
+    Then corr(i,j) = (C - A*A.T/N) / sqrt((B - A^2/N)(B' - A'^2/N)).
+    One 4p^2-double blob per partition tree-reduces to the driver —
+    bounded by partition count and width, never by row count."""
+    import numpy as np
+    from pyspark.sql import types as T
+
+    p = len(cols)
+    if p > _CORR_GRAM_MAX_COLS:
+        raise ValueError(
+            f"gram corr on {p} columns needs {4 * p * p * 8 >> 20} MiB "
+            f"of partial state per task (cap {_CORR_GRAM_MAX_COLS} "
+            "columns); partition the feature set or raise the cap")
+    src = df.select(*[_qcol(c).cast("double").alias(f"x{i}")
+                      for i, c in enumerate(cols)])
+
+    def part_stats(batches):
+        acc = np.zeros((4, p, p))
+        seen = False
+        for b in batches:
+            X = np.column_stack([
+                b.column(i).to_numpy(zero_copy_only=False)
+                for i in range(p)
+            ]).astype(np.float64, copy=False)
+            V = (~np.isnan(X)).astype(np.float64)
+            Xf = np.where(np.isnan(X), 0.0, X)
+            acc[0] += V.T @ V
+            acc[1] += Xf.T @ V
+            acc[2] += (Xf * Xf).T @ V
+            acc[3] += Xf.T @ Xf
+            seen = True
+        if seen:
+            import pyarrow as pa
+            yield pa.record_batch(
+                [pa.array([acc.tobytes()], type=pa.binary())], ["partial"]
+            )
+
+    partials = src.mapInArrow(
+        part_stats, schema=T.StructType(
+            [T.StructField("partial", T.BinaryType())])
+    )
+    try:
+        total = (
+            partials.rdd
+            .map(lambda r: np.frombuffer(r["partial"]).reshape(4, p, p))
+            .treeReduce(lambda a, b: a + b, depth=2)
+        )
+    except ValueError:   # empty input: no partition yielded a partial
+        return np.full((p, p), np.nan)
+    N, A, B, C = total
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cov = C - A * A.T / N
+        varx = B - A * A / N
+        corr = cov / np.sqrt(varx * varx.T)
+    return corr

@@ -3,9 +3,10 @@ metadata.
 
 The Spark-side plumbing (schemas, batching, partition sizing, UDF
 signatures) is real and tested. Codecs: PNG (r4, this module), WAV
-(r4, this module), and baseline JPEG (r5, ops/jpeg.py) are REAL
-stdlib+numpy implementations, and MJPEG-in-AVI video (r5,
-ops/avi.py) rides the JPEG decoder; remaining formats (other video
+(r4, this module), and baseline + progressive JPEG (r5/r6,
+ops/jpeg.py) are REAL stdlib+numpy implementations, and MJPEG-in-AVI
+video (r5, ops/avi.py) rides the JPEG decoder; remaining formats
+(other video
 containers, exotic image codecs) either raise NotImplementedError
 (strict mode) or produce a deterministic fake derived from the bytes
 (test mode), so pipelines can be exercised end-to-end regardless.
@@ -257,7 +258,8 @@ def image_features(
                     raise NotImplementedError(
                         "non-PNG/JPEG image codec not available in "
                         "this container — plug PIL/opencv here "
-                        "(PNG and baseline JPEG decode via the "
+                        "(PNG and baseline/progressive JPEG decode "
+                        "via the "
                         "stdlib codecs in ops/multimodal.py and "
                         "ops/jpeg.py)"
                     )

@@ -324,10 +324,11 @@ def test_jpeg_decode_rejects_unsupported():
 
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"\x00\x01\x02\x03")
-    # progressive (SOF2) named explicitly
-    prog = b"\xff\xd8\xff\xc2" + struct.pack(">H", 11) + bytes(9)
-    with pytest.raises(ValueError, match="baseline"):
-        decode_jpeg(prog)
+    # arithmetic coding (SOF9) named explicitly; progressive (SOF2)
+    # is SUPPORTED since round 6 (see test_round6 roundtrips)
+    arith = b"\xff\xd8\xff\xc9" + struct.pack(">H", 11) + bytes(9)
+    with pytest.raises(ValueError, match="arithmetic"):
+        decode_jpeg(arith)
     # truncated stream with no SOF/SOS
     with pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8\xff\xd9")
