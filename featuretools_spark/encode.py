@@ -128,10 +128,15 @@ def remove_low_information_features(
     return feature_matrix.drop(*drop)
 
 
-#: widest matrix the pairwise-F.corr plan handles comfortably: above
-#: this, n(n-1)/2 aggregate expressions blow up codegen (1k columns
-#: would be ~500k expressions in ONE plan) and the Gram path takes over
-_CORR_PAIRWISE_MAX = 64
+#: widest matrix the pairwise plan handles comfortably. MEASURED
+#: (tools/bench_corr_width.py, 100k rows, local[32], 8g heap): gram
+#: beats pairwise already at 16 columns (6.4s vs 11.1s) and pairwise
+#: OOMs by 64 columns — each pair needs ~6 non-dedupable moment
+#: aggregate buffers (pair-masked, so Catalyst cannot share them
+#: across pairs), and n(n-1)/2 pairs x 6 explodes the hash-agg state
+#: quadratically in width. auto therefore flips to gram early;
+#: pairwise stays available as the no-Python-worker fallback.
+_CORR_PAIRWISE_MAX = 16
 #: driver/task guard for the Gram path: partials are 4 * p^2 doubles
 _CORR_GRAM_MAX_COLS = 4096
 
