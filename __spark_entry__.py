@@ -815,16 +815,21 @@ def q_minhash_dedup(spark, sf_dir):
 
 
 def q_simhash_dedup(spark, sf_dir):
-    """SimHash near-dup pairs, WITNESS mode (round 5): hamming-bounded
-    candidates (pigeonhole blocking is exact for the bound) are
-    re-scored with the exact 7-gram Jaccard — output is
-    engine-independent and DuckDB-checkable. The 64-bit signature
-    keeps its exact-recall-vs-brute-hamming pytest gate."""
+    """SimHash near-dup pairs, WITNESS mode v2 (round 6): md5-derived
+    token bits make the signature engine-agnostic, so the DuckDB
+    oracle rebuilds the IDENTICAL signatures, pigeonhole chunks,
+    hamming distances, and exact 7-gram Jaccard re-score — the check
+    is exact at ANY scale (the round-5 oracle instead claimed the
+    hamming<=10 gate passes every true J>=0.5 pair, a corpus-margin
+    property that tools/check_sf1_tiling.py measured flipping 2-4
+    pairs per hash-perturbed corpus at sf0.1 scale). Planted-pair
+    recall stays pinned by the witness-margin pytests."""
     from featuretools_spark.ops.dedup import simhash_near_duplicates
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     out = simhash_near_duplicates(docs, "doc_id", "text", max_hamming=10,
-                                  verify_jaccard=0.5, shingle_k=7)
+                                  verify_jaccard=0.5, shingle_k=7,
+                                  hash_fn="md5")
     return _r4(out, ["jaccard"])
 
 
@@ -1331,6 +1336,98 @@ _STOP_EXPR = (
 
 def _R(e: str) -> str:
     return f"floor(({e})*10000 + 0.5)/10000"
+
+
+def _simhash_md5_oracle(max_hamming: int = 10, k: int = 7,
+                        threshold: float = 0.5) -> str:
+    """DuckDB reproduction of simhash_near_duplicates(hash_fn='md5'):
+    identical token bits (md5 hex halves), 64 majority votes, the same
+    pigeonhole chunk layout (64 bits split into max_hamming+1 chunks,
+    wider chunks first — ops/dedup.py simhash_near_duplicates), exact
+    hamming <= bound, exact k-gram Jaccard re-score >= threshold. The
+    signature lives as two 32-bit halves (sig_hi = md5 hex 1-8 =
+    engine bits 32..63, sig_lo = hex 9-16 = bits 0..31) so every
+    shift/mask stays in non-negative BIGINT range; hamming is the sum
+    of the halves' xor bit_counts."""
+    n_chunks = max_hamming + 1
+    base, extra = divmod(64, n_chunks)
+    widths = [base + (1 if i < extra else 0) for i in range(n_chunks)]
+    starts = [sum(widths[:i]) for i in range(n_chunks)]
+
+    def votes(col):
+        return " + ".join(
+            f"(CASE WHEN sum(CASE WHEN ({col} >> {i}) & 1 = 1 "
+            f"THEN 1 ELSE -1 END) > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(32))
+
+    chunk_rows = []
+    for ci, (s, w) in enumerate(zip(starts, widths)):
+        mask = (1 << w) - 1
+        if s + w <= 32:
+            expr = f"(sig_lo >> {s}) & {mask}"
+        elif s >= 32:
+            expr = f"(sig_hi >> {s - 32}) & {mask}"
+        else:  # chunk straddles the 32-bit half boundary
+            hi_bits = (1 << (s + w - 32)) - 1
+            expr = (f"((sig_lo >> {s}) | ((sig_hi & {hi_bits}) "
+                    f"<< {32 - s})) & {mask}")
+        chunk_rows.append(
+            f"SELECT doc_id, {ci} AS ci, {expr} AS cv FROM sig")
+    chunks = "\n                UNION ALL ".join(chunk_rows)
+
+    return f"""
+            -- simhash_near_duplicates(hash_fn='md5') reproduced
+            -- end-to-end: md5 token bits -> 64 majority votes ->
+            -- pigeonhole chunk blocking -> exact hamming <=
+            -- {max_hamming} -> exact {k}-gram Jaccard >= {threshold}
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(
+                           lower(trim(text)), '\\s+')) AS tok
+                FROM documents
+            ), h AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+                       ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+                FROM toks
+            ), sig AS (
+                SELECT doc_id,
+                       {votes('hi')} AS sig_hi,
+                       {votes('lo')} AS sig_lo
+                FROM h GROUP BY doc_id
+            ), chunks AS (
+                {chunks}
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM chunks a JOIN chunks b
+                  ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id
+            ), ham AS (
+                SELECT c.id_a, c.id_b FROM cand c
+                JOIN sig sa ON sa.doc_id = c.id_a
+                JOIN sig sb ON sb.doc_id = c.id_b
+                WHERE bit_count(xor(sa.sig_hi, sb.sig_hi))
+                    + bit_count(xor(sa.sig_lo, sb.sig_lo))
+                    <= {max_hamming}
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(length(lower(text))
+                                             - {k - 1}, 1) + 1),
+                           i -> substring(lower(text), i::INT, {k})))
+                           AS s
+                FROM documents
+            ), p AS (
+                SELECT hm.id_a, hm.id_b,
+                       len(list_intersect(a.s, b.s))::DOUBLE
+                       / (len(a.s) + len(b.s)
+                          - len(list_intersect(a.s, b.s))) AS j
+                FROM ham hm
+                JOIN sh a ON a.doc_id = hm.id_a
+                JOIN sh b ON b.doc_id = hm.id_b
+            )
+            SELECT id_a, id_b, {_R('j')} AS jaccard
+            FROM p WHERE j >= {threshold}
+        """
 
 
 def _Re(e: str) -> str:
@@ -2033,27 +2130,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT id_a, id_b, {_R('j')} AS jaccard
             FROM p WHERE j >= 0.5
         """,
-        "simhash_dedup": f"""
-            -- exact-verified near-dup pairs via SimHash blocking:
-            -- pigeonhole blocking at hamming<=10 plus exact 7-gram
-            -- Jaccard re-score; planted pairs' signatures sit at
-            -- hamming <= 9, so the output equals the exact pair set
-            WITH sh AS (
-                SELECT doc_id,
-                       list_distinct(list_transform(
-                           range(1, greatest(length(lower(text)) - 6, 1) + 1),
-                           i -> substring(lower(text), i::INT, 7))) AS s
-                FROM documents
-            ), p AS (
-                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                       len(list_intersect(a.s, b.s))::DOUBLE
-                       / (len(a.s) + len(b.s)
-                          - len(list_intersect(a.s, b.s))) AS j
-                FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-            )
-            SELECT id_a, id_b, {_R('j')} AS jaccard
-            FROM p WHERE j >= 0.5
-        """,
+        "simhash_dedup": _simhash_md5_oracle(max_hamming=10, k=7,
+                                             threshold=0.5),
         "ngram_jaccard": f"""
             WITH sh AS (
                 SELECT doc_id,

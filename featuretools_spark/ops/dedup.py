@@ -179,14 +179,36 @@ def minhash_duplicates(
     return pairs.filter(F.col("est_jaccard") >= threshold)
 
 
-def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash64(df: DataFrame, id_col: str, text_col: str,
+              hash_fn: str = "spark") -> DataFrame:
     """64-bit SimHash over whitespace tokens: per bit, majority vote of
     token-hash bits. One explode + one groupBy with 64 conditional
-    sums; the signature is reassembled with bit arithmetic."""
+    sums; the signature is reassembled with bit arithmetic.
+
+    hash_fn="spark" (default): token bits from F.xxhash64 — the fast
+    JVM scale path, engine-specific values.
+    hash_fn="md5" (witness mode): token bits from md5(token) — bits
+    32..63 are the first 8 hex digits, bits 0..31 the next 8 — so a
+    SQL oracle (DuckDB) can rebuild the identical signatures, chunk
+    blocks, hamming distances, and final pair set at ANY scale (same
+    pattern as similarity.rh_signature / textstats.fingerprint md5
+    modes). Slower (string md5 per token), so not the default."""
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("_tok"),
-    ).withColumn("_h", F.xxhash64("_tok"))
+    )
+    if hash_fn == "md5":
+        hx = F.md5(F.encode(F.col("_tok"), "UTF-8"))
+        hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+        # Java << wraps, so bit 31 of hi lands on the sign bit — the
+        # BIT PATTERN is exactly the 64 md5 bits, which is all the
+        # vote/chunk/hamming machinery reads
+        toks = toks.withColumn("_h", F.shiftleft(hi, 32).bitwiseOR(lo))
+    elif hash_fn == "spark":
+        toks = toks.withColumn("_h", F.xxhash64("_tok"))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}: use 'spark' or 'md5'")
     aggs = [
         F.sum(
             F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1)
@@ -209,19 +231,38 @@ def hamming_distance(a, b):
 def simhash_near_duplicates(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
     verify_jaccard: float | None = None, shingle_k: int = 5,
+    hash_fn: str = "spark",
 ) -> DataFrame:
     """Near-dup pairs by SimHash with pigeonhole blocking: the 64-bit
     signature splits into (max_hamming + 1) chunks — a pair within the
     hamming bound MUST share at least one exact chunk, so blocking on
     chunks has perfect recall at the requested bound — then candidate
-    pairs are verified with the exact hamming distance."""
+    pairs are verified with the exact hamming distance.
+
+    The hamming bound is exact; its relation to JACCARD is
+    probabilistic. MEASURED (round 6, tools/check_sf1_tiling.py over
+    ten hash-perturbed 5k-doc corpora): at max_hamming=10 on 64 bits,
+    2-4 true-J>=0.5 pairs per corpus sit close enough to the boundary
+    that re-hashing flips them in or out — so the verify path's
+    output contract is {hamming <= max_hamming} INTERSECT
+    {jaccard >= verify_jaccard}, NOT the full J>=t pair set. Recall
+    of planted near-dups stays pinned by the quantitative pytest
+    (test_round6 witness-margin tests). hash_fn="md5" makes the
+    whole pipeline engine-agnostic so a SQL oracle can reproduce the
+    contract exactly at any scale.
+
+    Scale note: chunk width is 64//(max_hamming+1) bits, so small
+    bounds block on wide (rare) chunks; at max_hamming=10 the 5-6-bit
+    chunks have only 32-64 distinct values and candidate pairs grow
+    ~n^2/2^width per chunk — prefer minhash LSH when a LOW similarity
+    floor over a LARGE corpus is the goal."""
     n_chunks = max_hamming + 1
     if n_chunks > 64:
         raise ValueError("max_hamming must be < 64")
     base, extra = divmod(64, n_chunks)
     widths = [base + (1 if i < extra else 0) for i in range(n_chunks)]
     starts = [sum(widths[:i]) for i in range(n_chunks)]
-    sig = simhash64(df, id_col, text_col)
+    sig = simhash64(df, id_col, text_col, hash_fn=hash_fn)
     chunks = sig.select(
         id_col, "simhash",
         F.explode(
@@ -260,9 +301,10 @@ def simhash_near_duplicates(
         # the exact shingle Jaccard — output (id_a, id_b, jaccard)
         # is engine-independent (the DuckDB oracle recomputes it from
         # raw text); the signature only gates which pairs are scored.
-        # Blocking recall is exact by the pigeonhole bound, so any
-        # true pair missing from the output means its signatures
-        # drifted past max_hamming — which the oracle then catches.
+        # Blocking recall is exact for the HAMMING bound (pigeonhole);
+        # whether every true J>=t pair clears that bound is a corpus
+        # property (see docstring) — with hash_fn="md5" the oracle
+        # reproduces the same gate, so the check is exact either way.
         return ngram_jaccard_pairs(
             df, id_col, text_col, k=shingle_k, threshold=verify_jaccard,
             candidates=out.select("id_a", "id_b"),

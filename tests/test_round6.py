@@ -471,7 +471,13 @@ def test_minhash_witness_margin_gap(doc_pairs_j5):
 def test_simhash_witness_margin(spark):
     """Every pair with exact 7-gram Jaccard >= 0.5 must sit at hamming
     <= 9 under the engine's 64-bit simhash — one bit of margin below
-    the oracle's max_hamming=10 blocking bound."""
+    max_hamming=10 blocking. Round-6 role change: the simhash_dedup
+    ORACLE no longer relies on this margin (it reproduces the md5
+    hamming gate exactly, any scale), so this test now pins the
+    RECALL property — hamming-10 blocking still catches every planted
+    near-dup on the driver corpus. tools/check_sf1_tiling.py measured
+    the margin flipping 2-4 pairs per hash-perturbed corpus at sf0.1
+    scale, which is why the oracle contract moved."""
     import duckdb
 
     from featuretools_spark.ops.dedup import hamming_distance, simhash64
@@ -512,3 +518,44 @@ def test_simhash_witness_margin(spark):
         f"driver corpus changed: qualifying pairs at hamming > 9: {bad} "
         "— the simhash_dedup oracle's blocking margin is gone; DATA "
         "change, not an engine regression")
+
+
+def test_simhash_md5_signature_parity_with_duckdb(spark):
+    """hash_fn='md5' witness mode: Spark signatures must equal the
+    DuckDB-recomputed ones bit-for-bit for every driver doc — this is
+    the property the round-6 simhash_dedup oracle rests on (the SQL
+    rebuilds signatures, chunks, hamming, and re-score from scratch)."""
+    import duckdb
+
+    from featuretools_spark.ops.dedup import simhash64
+
+    docs = spark.read.parquet(f"{SF_GATE}/documents.parquet")
+    got = {r["doc_id"]: r["simhash"] for r in
+           simhash64(docs, "doc_id", "text", hash_fn="md5").collect()}
+
+    def votes(col):
+        return " + ".join(
+            f"(CASE WHEN sum(CASE WHEN ({col} >> {i}) & 1 = 1 "
+            f"THEN 1 ELSE -1 END) > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(32))
+
+    con = duckdb.connect()
+    rows = con.execute(f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(regexp_split_to_array(
+                lower(trim(text)), '\\s+')) AS tok
+            FROM read_parquet('{SF_GATE}/documents.parquet')
+        ), h AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hi,
+                   ('0x' || substr(md5(tok), 9, 8))::BIGINT AS lo
+            FROM toks
+        )
+        SELECT doc_id, {votes('hi')} AS sig_hi, {votes('lo')} AS sig_lo
+        FROM h GROUP BY doc_id""").fetchall()
+    assert len(rows) == len(got)
+    for doc_id, sig_hi, sig_lo in rows:
+        want = (sig_hi << 32) | sig_lo
+        if want >= 1 << 63:            # engine packs into a signed long
+            want -= 1 << 64
+        assert got[doc_id] == want, doc_id
