@@ -255,7 +255,10 @@ def simhash_near_duplicates(
     bounds block on wide (rare) chunks; at max_hamming=10 the 5-6-bit
     chunks have only 32-64 distinct values and candidate pairs grow
     ~n^2/2^width per chunk — prefer minhash LSH when a LOW similarity
-    floor over a LARGE corpus is the goal."""
+    floor over a LARGE corpus is the goal. A pre-flight count-agg
+    estimates the exact candidate volume and REFUSES above
+    FT_SPARK_SIMHASH_MAX_CANDIDATES (default 2e9) rather than launch
+    a silently quadratic join."""
     n_chunks = max_hamming + 1
     if n_chunks > 64:
         raise ValueError("max_hamming must be < 64")
@@ -276,6 +279,43 @@ def simhash_near_duplicates(
             ])
         ).alias("c"),
     ).select(id_col, "simhash", "c.chunk_idx", "c.chunk")
+    # quadratic-degeneration guard (round 6): narrow chunks (small
+    # widths at large max_hamming) put ~n/2^width docs in every
+    # bucket, so the candidate join emits ~sum_buckets C(n_b, 2) rows
+    # — at web scale that silently becomes all-pairs. Estimate the
+    # exact candidate volume with one cheap count-agg over the chunk
+    # table (distributive, map-side combined) and refuse with an
+    # actionable message instead of launching an n^2 join. Override
+    # with FT_SPARK_SIMHASH_MAX_CANDIDATES; minhash LSH (wide OR-ed
+    # bands + hot-bucket cap) is the scale path for low thresholds.
+    import os as _os
+    from pyspark import StorageLevel
+
+    cap = int(_os.environ.get("FT_SPARK_SIMHASH_MAX_CANDIDATES",
+                              str(2_000_000_000)))
+    # persist the chunk table: the guard's count-agg materializes it
+    # once and the self-join below then reads the cache for BOTH
+    # sides — previously the unpersisted self-join recomputed the
+    # explode + 64-vote signature aggregation twice
+    chunks = chunks.persist(StorageLevel.MEMORY_AND_DISK)
+    est = (
+        chunks.groupBy("chunk_idx", "chunk").count()
+        .select(F.sum(F.col("count") * (F.col("count") - 1) / 2)
+                .alias("pairs"))
+        .collect()[0]["pairs"]
+    ) or 0
+    if est > cap:
+        chunks.unpersist()
+        raise ValueError(
+            f"simhash_near_duplicates: pigeonhole blocking at "
+            f"max_hamming={max_hamming} ({n_chunks} chunks of "
+            f"{min(widths)}-{max(widths)} bits) would generate "
+            f"~{int(est):,} candidate pairs (> cap {cap:,}) — the "
+            f"chunk buckets are too hot at this corpus size. Use a "
+            f"smaller max_hamming (wider, rarer chunks), or "
+            f"minhash_duplicates for low similarity floors at scale, "
+            f"or raise FT_SPARK_SIMHASH_MAX_CANDIDATES explicitly."
+        )
     a, b = chunks.alias("a"), chunks.alias("b")
     pairs = (
         a.join(

@@ -559,3 +559,22 @@ def test_simhash_md5_signature_parity_with_duckdb(spark):
         if want >= 1 << 63:            # engine packs into a signed long
             want -= 1 << 64
         assert got[doc_id] == want, doc_id
+
+
+def test_simhash_candidate_volume_guard(spark):
+    """The pigeonhole candidate join must refuse (actionably) instead
+    of going quadratic when narrow chunks make every bucket hot."""
+    from featuretools_spark.ops.dedup import simhash_near_duplicates
+
+    docs = spark.read.parquet(f"{SF_GATE}/documents.parquet")
+    os.environ["FT_SPARK_SIMHASH_MAX_CANDIDATES"] = "10"
+    try:
+        with pytest.raises(ValueError, match="candidate pairs"):
+            simhash_near_duplicates(docs, "doc_id", "text",
+                                    max_hamming=10).count()
+    finally:
+        os.environ.pop("FT_SPARK_SIMHASH_MAX_CANDIDATES")
+    # default cap: the driver corpus sails through
+    n = simhash_near_duplicates(docs, "doc_id", "text",
+                                max_hamming=10).count()
+    assert n > 0
