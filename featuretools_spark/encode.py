@@ -261,12 +261,22 @@ def _corr_matrix_gram(df: DataFrame, cols: list[str]):
                 b.column(i).to_numpy(zero_copy_only=False)
                 for i in range(p)
             ]).astype(np.float64, copy=False)
-            V = (~np.isnan(X)).astype(np.float64)
-            Xf = np.where(np.isnan(X), 0.0, X)
-            acc[0] += V.T @ V
-            acc[1] += Xf.T @ V
-            acc[2] += (Xf * Xf).T @ V
-            acc[3] += Xf.T @ Xf
+            nan = np.isnan(X)
+            if not nan.any():
+                # all-valid fast path (the common case): V is all-ones,
+                # so V'V = n, Xf'V and (Xf²)'V are rank-1 column sums —
+                # ONE real GEMM instead of four plus two masked copies
+                acc[0] += X.shape[0]
+                acc[1] += X.sum(axis=0)[:, None]
+                acc[2] += (X * X).sum(axis=0)[:, None]
+                acc[3] += X.T @ X
+            else:
+                V = (~nan).astype(np.float64)
+                Xf = np.where(nan, 0.0, X)
+                acc[0] += V.T @ V
+                acc[1] += Xf.T @ V
+                acc[2] += (Xf * Xf).T @ V
+                acc[3] += Xf.T @ Xf
             seen = True
         if seen:
             import pyarrow as pa

@@ -46,7 +46,9 @@ def make_matrix(spark, rows: int, width: int):
     ]
     out = df.select(*cols)
     path = f"/tmp/corr_bench_{rows}x{width}.parquet"
-    if not os.path.exists(path):
+    # check the _SUCCESS marker, not the directory: an interrupted
+    # write leaves a partial dir that then fails schema inference
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
         out.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
