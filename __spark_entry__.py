@@ -1211,6 +1211,59 @@ def q_dedup_clusters(spark, sf_dir):
     )
 
 
+#: deterministic PII payload appended to every document for the
+#: redaction query — the driver corpus contains no organic PII, so the
+#: query injects some (a pure function of doc_id, identical SQL) and
+#: the redactor must find exactly it plus any organic matches
+_PII_INJECT = (
+    " contact user{id}@example.com tel 555-867-{pad} "
+    "ssn 123-45-6789 ip 10.0.0.{oct}"
+)
+
+
+def q_redact_pii(spark, sf_dir):
+    """PII redaction (NEW r6, ops/scrub.py): regexp chain over the
+    Java-regex ∩ RE2 common subset — counts on the original text,
+    fixed replacement order, all whole-stage-codegen Column
+    expressions. The corpus carries no organic PII, so a
+    deterministic payload (function of doc_id) is appended in BOTH
+    engines; the oracle re-runs the identical chain in DuckDB."""
+    from featuretools_spark.ops.scrub import redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com tel 555-867-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" ssn 123-45-6789 ip 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    out = redact_pii(injected, "text")
+    return out.select(
+        "doc_id", "redacted",
+        *[F.col(f"n_{k}").cast("long").alias(f"n_{k}")
+          for k in ("email", "ssn", "phone", "ipv4")],
+    )
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (NEW r6, ops/scrub.py): word-5-gram
+    overlap against a deterministic in-corpus benchmark slice
+    (doc_id % 97 == 0); the corpus side is explode + broadcast
+    semi-join, no corpus shuffle. Oracle recomputes grams and overlap
+    with DuckDB list functions."""
+    from featuretools_spark.ops.scrub import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return decontaminate(corpus, bench, "doc_id", "text", n=5)
+
+
 def q_corr_matrix(spark, sf_dir):
     """One-pass Gram-matrix pairwise-complete Pearson correlation
     (NEW r6, encode.py:_corr_matrix_gram): four p x p GEMM partials
@@ -1292,6 +1345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "video_features": q_video_features,
         "corr_matrix": q_corr_matrix,
+        "redact_pii": q_redact_pii,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -1336,6 +1391,39 @@ _STOP_EXPR = (
 
 def _R(e: str) -> str:
     return f"floor(({e})*10000 + 0.5)/10000"
+
+
+def _redact_pii_oracle() -> str:
+    """DuckDB reproduction of q_redact_pii: identical injected
+    payload, identical regex chain (PII_PATTERNS is the single source
+    of truth — the Java-regex ∩ RE2 subset), counts on the original
+    text, replacements in the same fixed order."""
+    from featuretools_spark.ops.scrub import PII_PATTERNS as P
+
+    kinds = ("email", "ssn", "phone", "ipv4")
+    red = "tx"
+    for k in kinds:
+        red = (f"regexp_replace({red}, '{P[k]}', "
+               f"'[{k.upper()}]', 'g')")
+    counts = ",\n                   ".join(
+        f"CAST(len(regexp_extract_all(tx, '{P[k]}')) AS BIGINT) "
+        f"AS n_{k}" for k in kinds)
+    return f"""
+            WITH t AS (
+                SELECT doc_id,
+                       text || ' contact user' ||
+                       CAST(doc_id AS VARCHAR) ||
+                       '@example.com tel 555-867-' ||
+                       lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                       ' ssn 123-45-6789 ip 10.0.0.' ||
+                       CAST(doc_id % 256 AS VARCHAR) AS tx
+                FROM documents
+            )
+            SELECT doc_id,
+                   {red} AS redacted,
+                   {counts}
+            FROM t
+        """
 
 
 def _simhash_md5_oracle(max_hamming: int = 10, k: int = 7,
@@ -2285,6 +2373,34 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'l_discount', 'l_tax',
                    {_R('corr(l_discount, l_tax)')} FROM lineitem
+        """,
+        "redact_pii": _redact_pii_oracle(),
+        "decontaminate": """
+            -- word-5-gram overlap vs the doc_id % 97 == 0 benchmark
+            -- slice, mirroring ops/scrub.decontaminate
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+')
+                           AS w
+                FROM documents
+            ), g AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(1, greatest(len(w) - 4, 0) + 1),
+                    i -> array_to_string(w[i:i+4], ' ')))) AS gram
+                FROM toks
+            ), bg AS (
+                SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+            ), m AS (
+                SELECT g.doc_id, count(*) AS n
+                FROM g JOIN bg USING (gram)
+                WHERE g.doc_id % 97 <> 0
+                GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(m.n, 0) AS BIGINT) AS n_matched,
+                   COALESCE(m.n, 0) > 0 AS contaminated
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+            LEFT JOIN m ON m.doc_id = d.doc_id
         """,
         "video_features": """
             SELECT CAST(doc_id AS VARCHAR) AS media_id,

@@ -578,3 +578,39 @@ def test_simhash_candidate_volume_guard(spark):
     n = simhash_near_duplicates(docs, "doc_id", "text",
                                 max_hamming=10).count()
     assert n > 0
+
+
+def test_redact_pii_counts_and_text(spark):
+    from featuretools_spark.ops.scrub import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.io ssn 123-45-6789 tel 555-867-5309 ip 10.0.0.1"),
+         (2, "clean text, no identifiers at all"),
+         (3, "")],
+        ["id", "t"])
+    r = {x["id"]: x for x in redact_pii(df, "t").collect()}
+    assert (r[1]["n_email"], r[1]["n_ssn"], r[1]["n_phone"],
+            r[1]["n_ipv4"]) == (1, 1, 1, 1)
+    assert r[1]["redacted"] == \
+        "mail [EMAIL] ssn [SSN] tel [PHONE] ip [IPV4]"
+    assert r[2]["redacted"] == r[2]["t"]
+    assert r[3]["redacted"] == ""
+
+
+def test_decontaminate_overlap_and_clean(spark):
+    from featuretools_spark.ops.scrub import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "a completely different sentence with other words here"),
+         (3, "quick brown fox jumps over something else entirely ok")],
+        ["id", "t"])
+    bench = spark.createDataFrame(
+        [(99, "the quick brown fox jumps over a fence")], ["id", "t"])
+    r = {x["id"]: (x["n_matched"], x["contaminated"])
+         for x in decontaminate(docs, bench, "id", "t", n=5).collect()}
+    # doc 1 shares 'the quick brown fox jumps' + 'quick brown fox
+    # jumps over'; doc 3 shares only the second; doc 2 none
+    assert r[1] == (2, True)
+    assert r[3] == (1, True)
+    assert r[2] == (0, False)
