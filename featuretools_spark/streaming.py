@@ -167,3 +167,34 @@ def streaming_running_features(
             update, out_schema, state_schema, "update", timeout
         )
     )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    content_cols: list[str],
+    time_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of ops.dedup.exact_duplicates' keep-canonical
+    filter: emit only the FIRST arrival of each exact content hash
+    (same sha2-256 over the \\x1f-joined content columns as the batch
+    op, so batch and stream agree on what "identical" means).
+
+    `dropDuplicatesWithinWatermark` keeps one state row per distinct
+    hash and lets Spark evict state older than the watermark — the
+    standard bounded-state ingestion dedup. Duplicates arriving within
+    the watermark window are suppressed exactly; a duplicate arriving
+    LATER than the watermark horizon may be re-emitted (the documented
+    at-least-once trade every bounded-state streaming dedup makes —
+    run the batch exact_duplicates downstream for exactness)."""
+    from pyspark.sql import functions as F
+
+    h = F.sha2(
+        F.concat_ws(
+            "\x1f", *[F.col(c).cast("string") for c in content_cols]
+        ),
+        256,
+    )
+    out = events.withColumn("content_hash", h)
+    return out.withWatermark(time_col, watermark) \
+        .dropDuplicatesWithinWatermark(["content_hash"])

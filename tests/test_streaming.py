@@ -124,3 +124,39 @@ def test_streaming_running_features_match_batch(spark, tmp_path):
         assert abs(g["sum_v"] - w["sum_v"]) < 1e-6
         assert abs(g["mean_v"] - w["mean_v"]) < 1e-9
         assert abs(g["std_v"] - w["std_v"]) < 1e-9
+
+
+def test_streaming_dedup_matches_batch_canonical(spark, tmp_path):
+    """Streaming exact-dedup must emit exactly the batch op's
+    canonical survivors (first arrival per content hash) when all
+    duplicates fall inside the watermark."""
+    import pyspark.sql.functions as F
+
+    from featuretools_spark.ops.dedup import exact_duplicates
+    from featuretools_spark.streaming import streaming_dedup
+
+    rows = [
+        (1, "alpha text", "2024-01-01 00:00:01"),
+        (2, "beta text", "2024-01-01 00:00:02"),
+        (3, "alpha text", "2024-01-01 00:00:03"),   # dup of 1
+        (4, "gamma text", "2024-01-01 00:00:04"),
+        (5, "beta text", "2024-01-01 00:00:05"),    # dup of 2
+        (6, "alpha text", "2024-01-01 00:00:06"),   # dup of 1
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    batch_df = spark.createDataFrame(rows, ["doc_id", "text", "ts"]) \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    batch_df.coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(str(src))
+    q = streaming_dedup(stream, ["text"], "ts", watermark="10 minutes") \
+        .writeStream.format("memory").queryName("sdedup") \
+        .outputMode("append").trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    got = {r["doc_id"] for r in spark.sql("SELECT * FROM sdedup").collect()}
+    want = {r["doc_id"] for r in
+            exact_duplicates(batch_df, ["text"], "doc_id")
+            .filter(~F.col("is_duplicate")).collect()}
+    assert got == want == {1, 2, 4}
