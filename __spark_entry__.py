@@ -1264,6 +1264,17 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(corpus, bench, "doc_id", "text", n=5)
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (NEW r6,
+    ops/textstats.py): word-bigram totals, top-ngram fraction,
+    duplicated-ngram fraction — one explode + two map-side-combinable
+    groupBys, shuffles only (id, gram) counts."""
+    from featuretools_spark.ops.textstats import repetition_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_features(docs, "doc_id", "text", n=2)
+
+
 def q_corr_matrix(spark, sf_dir):
     """One-pass Gram-matrix pairwise-complete Pearson correlation
     (NEW r6, encode.py:_corr_matrix_gram): four p x p GEMM partials
@@ -1347,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix": q_corr_matrix,
         "redact_pii": q_redact_pii,
         "decontaminate": q_decontaminate,
+        "repetition": q_repetition,
     }
 
 
@@ -2375,6 +2387,36 @@ def oracle_sql() -> dict[str, str]:
                    {_R('corr(l_discount, l_tax)')} FROM lineitem
         """,
         "redact_pii": _redact_pii_oracle(),
+        "repetition": f"""
+            -- word-bigram repetition signals, mirroring
+            -- ops/textstats.repetition_features(n=2)
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\\s+')
+                           AS w
+                FROM documents
+            ), g AS (
+                SELECT doc_id, unnest(list_transform(
+                    range(1, greatest(len(w) - 1, 0) + 1),
+                    i -> array_to_string(w[i:i+1], ' '))) AS gram
+                FROM toks
+            ), pg AS (
+                SELECT doc_id, gram, count(*) AS c
+                FROM g GROUP BY doc_id, gram
+            ), a AS (
+                SELECT doc_id, sum(c) AS total, max(c) AS top,
+                       sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+                FROM pg GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(a.total, 0) AS BIGINT) AS n_grams,
+                   {_R('CASE WHEN a.total > 0 THEN a.top::DOUBLE / a.total ELSE 0.0 END')}
+                       AS top_ngram_frac,
+                   {_R('CASE WHEN a.total > 0 THEN a.dup::DOUBLE / a.total ELSE 0.0 END')}
+                       AS dup_ngram_frac
+            FROM (SELECT doc_id FROM documents) d
+            LEFT JOIN a ON a.doc_id = d.doc_id
+        """,
         "decontaminate": """
             -- word-5-gram overlap vs the doc_id % 97 == 0 benchmark
             -- slice, mirroring ops/scrub.decontaminate

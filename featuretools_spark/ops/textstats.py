@@ -123,3 +123,46 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str,
         F.array_min(rolling).alias("min_gram_fp"),
         F.array_max(rolling).alias("max_gram_fp"),
     )
+
+
+def repetition_features(
+    df: DataFrame, id_col: str, text_col: str, n: int = 2
+) -> DataFrame:
+    """Gopher/MassiveText-style repetition quality signals per doc
+    over word n-grams (lowercased whitespace tokens, NON-distinct —
+    repetition is the point):
+
+      n_grams         total n-gram occurrences
+      top_ngram_frac  occurrences of the single most frequent n-gram
+                      / total (ties resolved by count alone — the
+                      fraction is tie-invariant)
+      dup_ngram_frac  occurrences belonging to n-grams seen more than
+                      once / total
+
+    Distributed plan: one explode + groupBy(id, gram) count (map-side
+    combinable) + groupBy(id) rollup — shuffles only (id, gram)
+    counts, never text. Docs shorter than n tokens emit zero
+    fractions."""
+    from featuretools_spark.ops.scrub import word_ngrams
+
+    grams = df.select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("_gram"),
+    )
+    per_gram = grams.groupBy(id_col, "_gram").count()
+    agg = per_gram.groupBy(id_col).agg(
+        F.sum("count").alias("_total"),
+        F.max("count").alias("_top"),
+        F.sum(F.when(F.col("count") > 1, F.col("count"))
+              .otherwise(F.lit(0))).alias("_dup"),
+    )
+    out = df.select(id_col).join(agg, id_col, "left")
+    tot = F.coalesce(F.col("_total"), F.lit(0))
+    return out.select(
+        F.col(id_col),
+        tot.cast("long").alias("n_grams"),
+        _round4(F.when(tot > 0, F.col("_top") / tot).otherwise(F.lit(0.0)))
+        .alias("top_ngram_frac"),
+        _round4(F.when(tot > 0, F.col("_dup") / tot).otherwise(F.lit(0.0)))
+        .alias("dup_ngram_frac"),
+    )

@@ -614,3 +614,17 @@ def test_decontaminate_overlap_and_clean(spark):
     assert r[1] == (2, True)
     assert r[3] == (1, True)
     assert r[2] == (0, False)
+
+
+def test_repetition_features_fractions(spark):
+    from featuretools_spark.ops.textstats import repetition_features
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the cat and the dog"),
+         (2, "all words unique here today friend"),
+         (3, ""), (4, "one")], ["id", "t"])
+    r = {x["id"]: (x["n_grams"], x["top_ngram_frac"], x["dup_ngram_frac"])
+         for x in repetition_features(df, "id", "t").collect()}
+    assert r[1] == (7, 0.2857, 0.8571)
+    assert r[2] == (5, 0.2, 0.0)
+    assert r[3] == (0, 0.0, 0.0) and r[4] == (0, 0.0, 0.0)
