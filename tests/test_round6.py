@@ -628,3 +628,32 @@ def test_repetition_features_fractions(spark):
     assert r[1] == (7, 0.2857, 0.8571)
     assert r[2] == (5, 0.2, 0.0)
     assert r[3] == (0, 0.0, 0.0) and r[4] == (0, 0.0, 0.0)
+
+
+def test_curation_ops_compose_into_one_lazy_plan(spark):
+    """quality -> repetition -> redaction -> decontamination compose
+    as one lazy DataFrame pipeline (no intermediate actions), the way
+    a real curation job chains them; the composed plan still resolves
+    and returns per-doc rows."""
+    from featuretools_spark.ops.scrub import decontaminate, redact_pii
+    from featuretools_spark.ops.textstats import (
+        quality_features, repetition_features,
+    )
+
+    docs = spark.read.parquet(f"{SF_GATE}/documents.parquet").limit(200)
+    q = quality_features(docs, "text")
+    rep = repetition_features(docs, "doc_id", "text", n=2)
+    red = redact_pii(docs, "text")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    dec = decontaminate(docs, bench, "doc_id", "text", n=5)
+    full = (
+        q.select("doc_id", "quality_score")
+        .join(rep, "doc_id")
+        .join(red.select("doc_id", "redacted"), "doc_id")
+        .join(dec, "doc_id")
+    )
+    rows = full.collect()          # first and only action
+    assert len(rows) == 200
+    cols = set(full.columns)
+    assert {"quality_score", "top_ngram_frac", "redacted",
+            "contaminated"} <= cols
