@@ -1264,6 +1264,17 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(corpus, bench, "doc_id", "text", n=5)
 
 
+def q_cross_dup(spark, sf_dir):
+    """Cross-document duplicated-span fraction (NEW r6,
+    ops/dedup.py:cross_doc_duplication): strided md5 k-gram
+    fingerprints, doc-frequency join — the dataset-analysis
+    counterpart of exact-substring dedup, linear in corpus size."""
+    from featuretools_spark.ops.dedup import cross_doc_duplication
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cross_doc_duplication(docs, "doc_id", "text", k=20, stride=5)
+
+
 def q_repetition(spark, sf_dir):
     """Gopher-style repetition quality signals (NEW r6,
     ops/textstats.py): word-bigram totals, top-ngram fraction,
@@ -1359,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "decontaminate": q_decontaminate,
         "repetition": q_repetition,
+        "cross_dup": q_cross_dup,
     }
 
 
@@ -2387,6 +2399,32 @@ def oracle_sql() -> dict[str, str]:
                    {_R('corr(l_discount, l_tax)')} FROM lineitem
         """,
         "redact_pii": _redact_pii_oracle(),
+        "cross_dup": f"""
+            -- strided md5 k-gram cross-doc duplication, mirroring
+            -- ops/dedup.cross_doc_duplication(k=20, stride=5)
+            WITH t AS (
+                SELECT doc_id, lower(text) AS tx FROM documents
+            ), g AS (
+                SELECT doc_id, unnest(list_distinct(list_transform(
+                    range(0, CAST(floor((length(tx) - 20) / 5)
+                                  AS INT) + 1),
+                    i -> md5(substring(tx, 1 + i * 5, 20))))) AS gram
+                FROM t WHERE length(tx) >= 20
+            ), dfreq AS (
+                SELECT gram, count(DISTINCT doc_id) AS dfq
+                FROM g GROUP BY gram
+            ), pd AS (
+                SELECT g.doc_id, count(*) AS n,
+                       sum(CASE WHEN dfq >= 2 THEN 1 ELSE 0 END) AS s
+                FROM g JOIN dfreq USING (gram) GROUP BY g.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(pd.n, 0) AS BIGINT) AS n_spans,
+                   {_R('CASE WHEN pd.n > 0 THEN pd.s::DOUBLE / pd.n ELSE 0.0 END')}
+                       AS shared_frac
+            FROM (SELECT doc_id FROM documents) d
+            LEFT JOIN pd ON pd.doc_id = d.doc_id
+        """,
         "repetition": f"""
             -- word-bigram repetition signals, mirroring
             -- ops/textstats.repetition_features(n=2)

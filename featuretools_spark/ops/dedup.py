@@ -663,3 +663,63 @@ def keep_canonical(
                 | (F.col("cluster_id") == F.col(id_col)))
         .drop("cluster_id")
     )
+
+
+def cross_doc_duplication(
+    df: DataFrame, id_col: str, text_col: str, k: int = 20,
+    stride: int = 5,
+) -> DataFrame:
+    """Cross-document duplicated-span signal (the dataset-analysis
+    counterpart of exact-substring dedup): per doc, the fraction of
+    its sampled k-char fingerprints that also occur in ANOTHER doc.
+
+        n_spans      distinct sampled k-grams in the doc
+        shared_frac  of those, fraction whose gram appears in >= 2
+                     distinct docs
+
+    Sampling is STRIDED (positions 1, 1+stride, ...), so any shared
+    span of length >= k + stride - 1 is guaranteed to contribute at
+    least one sampled gram on both sides — a documented detection
+    floor, deliberately simpler than winnowing so a SQL oracle
+    reproduces it verbatim. Grams are md5 hex (engine-agnostic);
+    per-doc grams are DISTINCT so internal repetition doesn't count
+    as cross-doc duplication.
+
+    Scale: explode ships only (id, 32-byte hash); doc-frequency is a
+    map-side-combinable count-distinct-docs per gram; the join back
+    redistributes only gram rows. Linear in corpus size, no
+    quadratic pair stage."""
+    t = F.lower(F.col(text_col))
+    npos = F.floor(
+        (F.length(t) - F.lit(k)) / F.lit(stride)
+    ).cast("int") + F.lit(1)
+    grams = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(F.length(t) < k, F.array().cast("array<string>"))
+            .otherwise(F.array_distinct(F.transform(
+                F.sequence(F.lit(0), F.greatest(npos - 1, F.lit(0))),
+                lambda i: F.md5(F.encode(
+                    F.substring(t, F.lit(1) + i * stride, k), "UTF-8")),
+            )))
+        ).alias("_g"),
+    )
+    dfreq = grams.groupBy("_g").agg(
+        F.countDistinct(id_col).alias("_df"))
+    per_doc = (
+        grams.join(dfreq, "_g")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum(F.when(F.col("_df") >= 2, 1).otherwise(0)).alias("_s"),
+        )
+    )
+    out = df.select(id_col).join(per_doc, id_col, "left")
+    n = F.coalesce(F.col("_n"), F.lit(0))
+    r4 = lambda x: F.floor(x.cast("double") * 10000.0 + F.lit(0.5))  # noqa: E731
+    return out.select(
+        F.col(id_col),
+        n.cast("long").alias("n_spans"),
+        (r4(F.when(n > 0, F.col("_s") / n).otherwise(F.lit(0.0)))
+         .cast("double") / 10000.0).alias("shared_frac"),
+    )

@@ -657,3 +657,20 @@ def test_curation_ops_compose_into_one_lazy_plan(spark):
     cols = set(full.columns)
     assert {"quality_score", "top_ngram_frac", "redacted",
             "contaminated"} <= cols
+
+
+def test_cross_doc_duplication_detects_shared_spans(spark):
+    from featuretools_spark.ops.dedup import cross_doc_duplication
+
+    base = ("the quick brown fox jumps over the lazy dog "
+            "again and again today")
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " with a twist at the end here"),
+         (3, "completely different content sharing nothing with others"),
+         (4, "short")], ["id", "t"])
+    r = {x["id"]: (x["n_spans"], x["shared_frac"])
+         for x in cross_doc_duplication(df, "id", "t").collect()}
+    assert r[1][1] == 1.0            # doc 1 is a prefix of doc 2
+    assert 0 < r[2][1] < 1.0         # doc 2 has a unique tail
+    assert r[3] == (r[3][0], 0.0) and r[3][0] > 0
+    assert r[4] == (0, 0.0)          # shorter than k
