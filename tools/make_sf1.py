@@ -145,7 +145,12 @@ def main() -> None:
             parts.append(pa.table(
                 {n: cols_out[n] for n in src.column_names}))
         out = pa.concat_tables(parts)
-        pq.write_table(out, f"{args.out}/{t}.parquet")
+        # small row groups so Spark's file-split logic can parallelize
+        # the scan: a single default-row-group file packs 50k docs
+        # into ~2 x 128MB splits and caps scan parallelism at 2 tasks
+        # (measured in BENCH/curation_ops_timing_r6.json's sf1 legs)
+        pq.write_table(out, f"{args.out}/{t}.parquet",
+                       row_group_size=max(out.num_rows // 32, 1024))
         print(t, src.num_rows, "->", out.num_rows)
 
 
