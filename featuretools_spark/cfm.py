@@ -254,7 +254,9 @@ def _task_memory_budget(spark) -> int:
         if m[-1] in units:
             heap = int(float(m[:-1])) << units[m[-1]]
         else:
-            heap = int(m)
+            # Spark's JavaUtils.byteStringAsMb treats a suffix-less
+            # memory string as MiB, not bytes
+            heap = int(m) << 20
         cores = int(spark.conf.get("spark.executor.cores", "1"))
     else:
         heap = int(str(
@@ -1407,6 +1409,15 @@ def _kernel_nparts(df) -> int:
 
     floor = int(df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "200"))
+    # a strategy="auto" escalation raises the session width for ITS
+    # join and is sticky (lazy execution); don't let that inflate the
+    # pandas-kernel floor for every later job in the session — cap
+    # the floor back at the pre-escalation width (ADVICE r6)
+    lp = LAST_PREFLIGHT
+    if (lp.get("parts_after") and lp.get("parts_before")
+            and floor == lp["parts_after"]
+            and lp["parts_after"] > lp["parts_before"]):
+        floor = lp["parts_before"]
     target = int(os.environ.get("FT_SPARK_KERNEL_PART_BYTES",
                                 str(64 << 20)))
     cap = int(os.environ.get("FT_SPARK_KERNEL_MAX_PARTS", "32768"))

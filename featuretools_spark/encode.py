@@ -299,6 +299,11 @@ def _corr_matrix_gram(df: DataFrame, cols: list[str]):
     N, A, B, C = total
     with np.errstate(invalid="ignore", divide="ignore"):
         cov = C - A * A.T / N
-        varx = B - A * A / N
+        # clamp the cancellation-prone B - A^2/N form at 0 (the
+        # pairwise path's F.greatest(..., 0.0)): a near-constant
+        # column can otherwise yield a tiny spurious variance and
+        # |corr| > 1 garbage that crosses the drop threshold
+        varx = np.maximum(B - A * A / N, 0.0)
         corr = cov / np.sqrt(varx * varx.T)
+        corr[np.abs(corr) > 1.0 + 1e-9] = np.nan
     return corr

@@ -336,6 +336,14 @@ def simhash_near_duplicates(
     out = pairs.select("id_a", "id_b", dist.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+    # materialize the (small: hamming-filtered, cap-guarded) pair set
+    # now so the persisted chunk table can be RELEASED before
+    # returning — previously the cache leaked on the success path and
+    # repeated calls in a long session accumulated signature-table
+    # blocks (ADVICE r6). localCheckpoint keeps the downstream plan
+    # reading the materialized pairs, never the unpersisted chunks.
+    out = out.localCheckpoint(eager=True)
+    chunks.unpersist()
     if verify_jaccard is not None:
         # witness path: re-score the hamming-bounded candidates with
         # the exact shingle Jaccard — output (id_a, id_b, jaccard)

@@ -420,6 +420,16 @@ def _decode_progressive(d, frame, scan, qt, huff_dc, huff_ac,
             if ss > 0 and sc["ac"] not in huff_ac:
                 raise ValueError(
                     f"corrupt JPEG: missing AC DHT table {sc['ac']}")
+        if ss > 63 or se > 63 or ss > se or ah > 13 or al > 13:
+            # T.81 G.1: 0 <= Ss <= Se <= 63, Ah/Al successive-
+            # approximation bit positions <= 13. Reject BEFORE
+            # entropy-decoding: an out-of-band Se would index past the
+            # 64-coefficient block (numpy IndexError, not the
+            # ValueError the strict=False degrade-to-NULL contract in
+            # multimodal.py catches).
+            raise ValueError(
+                "corrupt JPEG: invalid spectral selection "
+                f"(Ss={ss}, Se={se}, Ah={ah}, Al={al})")
         if ss == 0 and se != 0:
             raise ValueError("corrupt JPEG: progressive DC scan with "
                              "Se != 0")
