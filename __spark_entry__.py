@@ -1265,14 +1265,35 @@ def q_decontaminate(spark, sf_dir):
 
 
 def q_cross_dup(spark, sf_dir):
-    """Cross-document duplicated-span fraction (NEW r6,
-    ops/dedup.py:cross_doc_duplication): strided md5 k-gram
-    fingerprints, doc-frequency join — the dataset-analysis
-    counterpart of exact-substring dedup, linear in corpus size."""
+    """Cross-document duplicated-span fraction
+    (ops/dedup.py:cross_doc_duplication): winnowed md5 k-gram
+    fingerprints (r7 — content-defined anchors replace r6's strided
+    sampling, whose floor claim failed on offsets differing mod
+    stride), doc-frequency join — the dataset-analysis counterpart of
+    exact-substring dedup, linear in corpus size."""
     from featuretools_spark.ops.dedup import cross_doc_duplication
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return cross_doc_duplication(docs, "doc_id", "text", k=20, stride=5)
+    return cross_doc_duplication(docs, "doc_id", "text", k=20, w=8)
+
+
+def q_dedup_spans(spark, sf_dir):
+    """Exact-substring span REMOVAL (NEW r7,
+    ops/dedup.py:trim_duplicated_spans): winnowed fingerprints with
+    doc-frequency >= 2 become merged char intervals, cut out of the
+    text in one fold — the Lee-et-al.-style curation action behind
+    the cross_dup signal. Oracle recomputes the interval merge AND
+    the trimmed text md5."""
+    from featuretools_spark.ops.dedup import trim_duplicated_spans
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = trim_duplicated_spans(docs, "doc_id", "text", k=20, w=8)
+    return out.select(
+        "doc_id", "n_dup_spans", "chars_removed",
+        F.length("text").cast("long").alias("trimmed_len"),
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("trimmed_md5"),
+    )
 
 
 def q_repetition(spark, sf_dir):
@@ -1371,6 +1392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "repetition": q_repetition,
         "cross_dup": q_cross_dup,
+        "dedup_spans": q_dedup_spans,
     }
 
 
@@ -1545,6 +1567,30 @@ def _simhash_md5_oracle(max_hamming: int = 10, k: int = 7,
 def _Re(e: str) -> str:
     """Epsilon-shifted round4 for order-dependent double sums."""
     return f"floor(({e})*10000 + 0.5 + 1e-6)/10000"
+
+
+def _winnow_cte(k: int, w: int, text_expr: str) -> str:
+    """CTEs t -> gh -> an mirroring ops/dedup._winnow_anchors over
+    documents: per doc the dense md5 k-gram hash list `h` and the
+    winnowed 0-based anchor-position list `ap` (leftmost-min per
+    w-window — list_position is first-occurrence, matching Spark's
+    array_min over (hash, pos) structs)."""
+    win = f"least({w}, len(h))"
+    sl = f"h[s + 1 : s + {win}]"
+    return f"""
+            t AS (SELECT doc_id, {text_expr} AS tx FROM documents),
+            gh AS (
+                SELECT doc_id, tx, list_transform(
+                    range(0, length(tx) - {k} + 1),
+                    i -> md5(substring(tx, 1 + i, {k}))) AS h
+                FROM t WHERE length(tx) >= {k}
+            ), an AS (
+                SELECT doc_id, tx, h, list_distinct(list_transform(
+                    range(0, len(h) - {win} + 1),
+                    s -> s + list_position({sl}, list_min({sl})) - 1
+                )) AS ap
+                FROM gh
+            )"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2400,16 +2446,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "redact_pii": _redact_pii_oracle(),
         "cross_dup": f"""
-            -- strided md5 k-gram cross-doc duplication, mirroring
-            -- ops/dedup.cross_doc_duplication(k=20, stride=5)
-            WITH t AS (
-                SELECT doc_id, lower(text) AS tx FROM documents
-            ), g AS (
+            -- winnowed md5 k-gram cross-doc duplication, mirroring
+            -- ops/dedup.cross_doc_duplication(k=20, w=8)
+            WITH {_winnow_cte(20, 8, 'lower(text)')}, g AS (
                 SELECT doc_id, unnest(list_distinct(list_transform(
-                    range(0, CAST(floor((length(tx) - 20) / 5)
-                                  AS INT) + 1),
-                    i -> md5(substring(tx, 1 + i * 5, 20))))) AS gram
-                FROM t WHERE length(tx) >= 20
+                    ap, p -> h[p + 1]))) AS gram
+                FROM an
             ), dfreq AS (
                 SELECT gram, count(DISTINCT doc_id) AS dfq
                 FROM g GROUP BY gram
@@ -2424,6 +2466,74 @@ def oracle_sql() -> dict[str, str]:
                        AS shared_frac
             FROM (SELECT doc_id FROM documents) d
             LEFT JOIN pd ON pd.doc_id = d.doc_id
+        """,
+        "dedup_spans": f"""
+            -- exact-substring span removal, mirroring
+            -- ops/dedup.trim_duplicated_spans(k=20, w=8, min_df=2):
+            -- winnowed anchors -> df>=2 grams -> merged [p, p+20)
+            -- intervals (gaps-and-islands) -> substring surgery
+            WITH {_winnow_cte(20, 8, 'text')}, g2 AS (
+                SELECT doc_id, unnest(ap) AS p,
+                       unnest(list_transform(ap, q -> h[q + 1])) AS gram
+                FROM an
+            ), dupg AS (
+                SELECT gram FROM (
+                    SELECT gram, count(DISTINCT doc_id) AS c
+                    FROM g2 GROUP BY gram
+                ) WHERE c >= 2
+            ), dpos AS (
+                SELECT DISTINCT doc_id, p FROM g2 JOIN dupg USING (gram)
+            ), iv AS (
+                SELECT doc_id, p AS s, p + 20 AS e,
+                       CASE WHEN p > coalesce(max(p + 20) OVER (
+                                PARTITION BY doc_id ORDER BY p
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), -1)
+                            THEN 1 ELSE 0 END AS brk
+                FROM dpos
+            ), isl AS (
+                SELECT doc_id, s, e,
+                       sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+                                      ROWS UNBOUNDED PRECEDING)
+                           AS island
+                FROM iv
+            ), merged AS (
+                SELECT doc_id, island, min(s) AS s, max(e) AS e
+                FROM isl GROUP BY doc_id, island
+            ), stats AS (
+                SELECT doc_id, count(*) AS n_iv, sum(e - s) AS rm,
+                       max(e) AS last_e
+                FROM merged GROUP BY doc_id
+            ), pieces AS (
+                SELECT m.doc_id, m.s,
+                       substring(t.tx,
+                           coalesce(lag(m.e) OVER (
+                               PARTITION BY m.doc_id ORDER BY m.s),
+                               0) + 1,
+                           m.s - coalesce(lag(m.e) OVER (
+                               PARTITION BY m.doc_id ORDER BY m.s),
+                               0)) AS piece
+                FROM merged m JOIN t ON t.doc_id = m.doc_id
+            ), heads AS (
+                SELECT doc_id, string_agg(piece, '' ORDER BY s) AS head
+                FROM pieces GROUP BY doc_id
+            ), tr AS (
+                SELECT st.doc_id,
+                       concat(coalesce(hd.head, ''),
+                              substring(t.tx, st.last_e + 1)) AS trimmed
+                FROM stats st
+                JOIN t ON t.doc_id = st.doc_id
+                LEFT JOIN heads hd ON hd.doc_id = st.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(st.n_iv, 0) AS BIGINT) AS n_dup_spans,
+                   CAST(coalesce(st.rm, 0) AS BIGINT) AS chars_removed,
+                   CAST(length(coalesce(tr.trimmed, d.text)) AS BIGINT)
+                       AS trimmed_len,
+                   md5(coalesce(tr.trimmed, d.text)) AS trimmed_md5
+            FROM documents d
+            LEFT JOIN stats st ON st.doc_id = d.doc_id
+            LEFT JOIN tr ON tr.doc_id = d.doc_id
         """,
         "repetition": f"""
             -- word-bigram repetition signals, mirroring

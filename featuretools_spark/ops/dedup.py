@@ -673,44 +673,99 @@ def keep_canonical(
     )
 
 
+def _gram_hasher(hash_fn: str):
+    """k-gram hash expression factory. "md5" is the witness mode (any
+    SQL engine recomputes the hex values verbatim — the DuckDB oracle
+    does); "xxhash64" is the scale path (8-byte bigints through the
+    shuffle instead of 32-char hex, ~4x less gram payload)."""
+    if hash_fn == "md5":
+        return lambda c: F.md5(F.encode(c, "UTF-8")), "string"
+    if hash_fn == "xxhash64":
+        return lambda c: F.xxhash64(c), "bigint"
+    raise ValueError(f"unknown hash_fn {hash_fn!r}")
+
+
+def _gram_hashes(t, k: int, hash_fn: str):
+    """Array of hashes of ALL k-char grams of t (dense — winnowing
+    selects which ones ship); empty array below k chars."""
+    h, typ = _gram_hasher(hash_fn)
+    n_g = F.length(t) - F.lit(k) + 1
+    return F.when(
+        F.length(t) < k, F.expr(f"CAST(array() AS array<{typ}>)")
+    ).otherwise(F.transform(
+        F.sequence(F.lit(0), n_g - 1),
+        lambda i: h(F.substring(t, i + 1, k)),
+    ))
+
+
+def _winnow_anchors(gh, w: int):
+    """Winnowed anchor positions (0-based gram starts) from a gram-
+    hash array column: every window of w consecutive grams selects its
+    min-hash position (leftmost on ties — matches SQL list_position
+    first-occurrence), positions deduped.
+
+    CONTENT-DEFINED sampling: the anchor decision inside a window
+    depends only on the w + k - 1 chars under it, so two documents
+    sharing a span select the SAME anchors in the span's interior
+    regardless of the span's byte offset in each doc. Hard detection
+    floor: any cross-doc span of length >= k + w - 1 contains at least
+    one full window, hence at least one common anchored gram. (Round 6
+    shipped STRIDED sampling here, whose floor claim was wrong: two
+    copies of a span at offsets differing mod stride never sample the
+    same gram — winnowing is the fix, same plan shape.)
+
+    Docs with 1..w-1 grams anchor their single partial window, so
+    every doc with >= 1 gram is represented."""
+    n = F.size(gh)
+    wlen = F.least(F.lit(w), n)
+    return F.when(n <= 0, F.expr("CAST(array() AS array<int>)")).otherwise(
+        F.array_distinct(F.transform(
+            F.sequence(F.lit(0), n - wlen),
+            lambda s: F.array_min(F.transform(
+                F.sequence(s, s + wlen - 1),
+                lambda p: F.struct(
+                    F.element_at(gh, p + 1).alias("h"),
+                    p.cast("int").alias("p")),
+            ))["p"],
+        ))
+    )
+
+
 def cross_doc_duplication(
     df: DataFrame, id_col: str, text_col: str, k: int = 20,
-    stride: int = 5,
+    w: int = 8, hash_fn: str = "md5",
 ) -> DataFrame:
     """Cross-document duplicated-span signal (the dataset-analysis
     counterpart of exact-substring dedup): per doc, the fraction of
-    its sampled k-char fingerprints that also occur in ANOTHER doc.
+    its winnowed k-char fingerprints that also occur in ANOTHER doc.
 
-        n_spans      distinct sampled k-grams in the doc
+        n_spans      distinct anchored k-grams in the doc
         shared_frac  of those, fraction whose gram appears in >= 2
                      distinct docs
 
-    Sampling is STRIDED (positions 1, 1+stride, ...), so any shared
-    span of length >= k + stride - 1 is guaranteed to contribute at
-    least one sampled gram on both sides — a documented detection
-    floor, deliberately simpler than winnowing so a SQL oracle
-    reproduces it verbatim. Grams are md5 hex (engine-agnostic);
-    per-doc grams are DISTINCT so internal repetition doesn't count
-    as cross-doc duplication.
+    Sampling is WINNOWED (_winnow_anchors): content-defined anchors,
+    so any cross-doc span of length >= k + w - 1 is guaranteed to
+    contribute at least one common anchored gram to both docs —
+    regardless of where the span sits in each doc. (Replaces round
+    6's strided sampling, which silently missed spans at offsets
+    differing mod stride.) Per-doc grams are DISTINCT so internal
+    repetition doesn't count as cross-doc duplication.
 
-    Scale: explode ships only (id, 32-byte hash); doc-frequency is a
-    map-side-combinable count-distinct-docs per gram; the join back
-    redistributes only gram rows. Linear in corpus size, no
-    quadratic pair stage."""
+    Scale: the explode ships only (id, hash) for ~1/w of positions;
+    doc-frequency is a map-side-combinable count-distinct-docs per
+    gram; the join back redistributes only gram rows. Linear in
+    corpus size, no quadratic pair stage. hash_fn="xxhash64" swaps
+    the 32-char hex grams for bigints at scale (4x less shuffle);
+    "md5" is the oracle-checkable witness mode."""
     t = F.lower(F.col(text_col))
-    npos = F.floor(
-        (F.length(t) - F.lit(k)) / F.lit(stride)
-    ).cast("int") + F.lit(1)
-    grams = df.select(
+    hashed = df.select(
+        F.col(id_col), _gram_hashes(t, k, hash_fn).alias("_gh"))
+    grams = hashed.select(
         F.col(id_col),
-        F.explode(
-            F.when(F.length(t) < k, F.array().cast("array<string>"))
-            .otherwise(F.array_distinct(F.transform(
-                F.sequence(F.lit(0), F.greatest(npos - 1, F.lit(0))),
-                lambda i: F.md5(F.encode(
-                    F.substring(t, F.lit(1) + i * stride, k), "UTF-8")),
-            )))
-        ).alias("_g"),
+        F.explode(F.array_distinct(F.transform(
+            _winnow_anchors(F.col("_gh"), w),
+            lambda p: F.element_at(F.col("_gh"), p + 1),
+        ))).alias("_g"),
     )
     dfreq = grams.groupBy("_g").agg(
         F.countDistinct(id_col).alias("_df"))
@@ -730,4 +785,120 @@ def cross_doc_duplication(
         n.cast("long").alias("n_spans"),
         (r4(F.when(n > 0, F.col("_s") / n).otherwise(F.lit(0.0)))
          .cast("double") / 10000.0).alias("shared_frac"),
+    )
+
+
+def trim_duplicated_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 20,
+    w: int = 8, min_df: int = 2, hash_fn: str = "md5",
+) -> DataFrame:
+    """Exact-substring span REMOVAL — the curation ACTION behind the
+    cross_doc_duplication signal (Lee-et-al.-style dedup-by-substring,
+    re-expressed with winnowed fingerprints so a SQL oracle reproduces
+    it): spans whose anchored k-char fingerprint occurs in >= min_df
+    distinct documents are cut out of the text.
+
+        1. per doc, hashes of ALL k-char grams (RAW text — positions
+           must align with the surgery, so no case folding here),
+           winnowed to content-defined anchors (_winnow_anchors:
+           common spans >= k + w - 1 chars anchor identically in
+           every doc holding them)
+        2. gram doc-frequency (countDistinct doc) — internal repeats
+           alone never mark a span
+        3. a doc's anchor positions whose gram has df >= min_df
+           become intervals [p, p+k), merged when overlapping or
+           adjacent (one array_sort + one fold)
+        4. one fold over the merged intervals rebuilds the text from
+           the kept segments (single substring-surgery pass)
+
+    Removal is ANCHOR-scoped: exactly the anchored [p, p+k) windows
+    (merged) are cut, not the maximal shared extent — deterministic,
+    order-free, and identical on every doc holding the span (interior
+    anchors coincide; each doc's boundary anchors may differ by up to
+    w - 1 grams).
+
+    Returns df with `text_col` REPLACED by the trimmed text (so the op
+    composes with keep_canonical / decontaminate as a pipeline stage)
+    plus `n_dup_spans` (merged intervals removed) and `chars_removed`.
+
+    Scale: the explode ships (id, hash) for ~1/w of positions;
+    doc-frequency is a map-side-combinable agg; anchor positions
+    regroup by doc id (bounded by doc_len/w per doc); the folds are
+    per-row JVM expressions. Linear, no pair stage. hash_fn="xxhash64"
+    is the bigint scale path; "md5" the oracle witness. Reference
+    analog: none (featuretools has no text surface); this is the
+    LLM-pipeline tier."""
+    t = F.col(text_col)
+    hashed = df.select(
+        F.col(id_col).alias("_id"),
+        _gram_hashes(t, k, hash_fn).alias("_gh"))
+    pg = hashed.select(
+        "_id",
+        F.explode(F.transform(
+            _winnow_anchors(F.col("_gh"), w),
+            lambda p: F.struct(
+                p.alias("p"),
+                F.element_at(F.col("_gh"), p + 1).alias("g")),
+        )).alias("_pg"),
+    ).select("_id", F.col("_pg.p").alias("_p"), F.col("_pg.g").alias("_g"))
+    dfreq = (
+        pg.select("_id", "_g").distinct()
+        .groupBy("_g").agg(F.count("*").alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("_g")
+    )
+    pos = (
+        pg.join(dfreq, "_g")
+        .groupBy("_id")
+        .agg(F.sort_array(F.collect_set("_p")).alias("_ps"))
+    )
+
+    def _merge(acc, p):
+        last = F.element_at(acc, -1)
+        extended = F.concat(
+            F.slice(acc, 1, F.size(acc) - 1),
+            F.array(F.struct(
+                last["s"].alias("s"),
+                F.greatest(last["e"], p + F.lit(k)).alias("e"))),
+        )
+        appended = F.concat(acc, F.array(F.struct(
+            p.alias("s"), (p + F.lit(k)).alias("e"))))
+        return F.when(
+            (F.size(acc) > 0) & (last["e"] >= p), extended
+        ).otherwise(appended)
+
+    ivs = F.aggregate(
+        F.coalesce(
+            F.col("_ps"), F.expr("CAST(array() AS array<int>)")),
+        F.expr("CAST(array() AS array<struct<s:int,e:int>>)"),
+        _merge,
+    )
+    joined = df.join(
+        pos.withColumnRenamed("_id", id_col), id_col, "left"
+    ).withColumn("_ivs", ivs).drop("_ps")
+    trimmed = F.aggregate(
+        F.col("_ivs"),
+        F.struct(F.lit(0).alias("cur"), F.lit("").alias("acc")),
+        lambda st, iv: F.struct(
+            iv["e"].alias("cur"),
+            F.concat(
+                st["acc"],
+                F.substring(t, st["cur"] + 1, iv["s"] - st["cur"]),
+            ).alias("acc"),
+        ),
+        lambda st: F.concat(
+            st["acc"],
+            F.substring(t, st["cur"] + 1, F.length(t) - st["cur"])),
+    )
+    removed = F.aggregate(
+        F.col("_ivs"), F.lit(0),
+        lambda a, iv: a + (iv["e"] - iv["s"]))
+    out_cols = [
+        trimmed.alias(text_col) if c == text_col else F.col(c)
+        for c in df.columns
+    ]
+    return joined.select(
+        *out_cols,
+        F.size("_ivs").cast("long").alias("n_dup_spans"),
+        removed.cast("long").alias("chars_removed"),
     )

@@ -670,7 +670,10 @@ def test_cross_doc_duplication_detects_shared_spans(spark):
          (4, "short")], ["id", "t"])
     r = {x["id"]: (x["n_spans"], x["shared_frac"])
          for x in cross_doc_duplication(df, "id", "t").collect()}
-    assert r[1][1] == 1.0            # doc 1 is a prefix of doc 2
+    # winnowing (r7): doc 1 is a prefix of doc 2 — interior anchors
+    # coincide, only doc 1's final sub-w-window anchors can differ,
+    # so the shared fraction is high but not necessarily 1.0
+    assert r[1][1] >= 0.5
     assert 0 < r[2][1] < 1.0         # doc 2 has a unique tail
     assert r[3] == (r[3][0], 0.0) and r[3][0] > 0
     assert r[4] == (0, 0.0)          # shorter than k
