@@ -198,22 +198,40 @@ LAST_PREFLIGHT: dict = {}
 
 
 def _escalation_decision(state_bytes: int, budget_bytes_per_task: int,
-                         current_parts: int, max_parts: int) -> dict:
+                         current_parts: int, max_parts: int,
+                         spill_tolerance: float | None = None) -> dict:
     """Pure decision core (unit-testable without a SparkSession).
 
     Returns {"strategy": "join"|"sortmerge", "parts": int|None,
     "reason": str}: parts is the escalated shuffle width when the
     current one would overflow the per-task budget, None when no
-    change is needed."""
+    change is needed.
+
+    spill_tolerance (default 4, env FT_SPARK_AUTO_SPILL_TOLERANCE):
+    escalation fires only when projected per-task state exceeds
+    spill_tolerance x the fair-share budget. Calibrated round 7
+    (BENCH/preflight_calibration_r7.json): Spark's unified manager
+    lets a task transiently take pool/activeTasks — measured 512 MiB
+    single-task hash-agg peaks, 3.3x the fair share, on a job whose
+    static-width RSS fit the heap — and TungstenAggregationIterator's
+    sort-fallback absorbs bounded overage, so escalating at 1x fair
+    share paid a measured 22% width premium on workloads that fit
+    (BENCH/stress_escalation_r6.json). Once escalation IS warranted,
+    the new width targets 1x budget (land comfortably, hysteresis)."""
+    import os
+    if spill_tolerance is None:
+        spill_tolerance = float(os.environ.get(
+            "FT_SPARK_AUTO_SPILL_TOLERANCE", "4"))
     budget = max(budget_bytes_per_task, 1)
     per_task = state_bytes / max(current_parts, 1)
-    if per_task <= budget:
+    if per_task <= budget * max(spill_tolerance, 1.0):
         return {
             "strategy": "join", "parts": None,
             "reason": (
                 f"join hash-agg state ~{state_bytes >> 20} MiB over "
                 f"{current_parts} tasks = {int(per_task) >> 10} KiB/task "
-                f"within budget {budget >> 20} MiB/task"),
+                f"within {spill_tolerance:g}x budget "
+                f"{budget >> 20} MiB/task"),
         }
     needed = -(-state_bytes // budget)          # ceil
     if needed <= max_parts:
@@ -236,11 +254,18 @@ def _escalation_decision(state_bytes: int, budget_bytes_per_task: int,
 
 
 def _task_memory_budget(spark) -> int:
-    """Conservative per-task execution-memory budget in bytes:
-    heap x spark.memory.fraction x (execution half of the unified
-    region) / concurrent tasks, halved again as safety. Heap comes
-    from spark.executor.memory when set (cluster), else the driver
-    JVM's Runtime.maxMemory() (local mode, where tasks share it)."""
+    """Per-task fair share of the unified memory region in bytes:
+    heap x spark.memory.fraction / task slots. Heap comes from
+    spark.executor.memory when set (cluster), else the driver JVM's
+    Runtime.maxMemory() (local mode, where tasks share it).
+
+    Round 7 recalibration: the r6 formula halved this twice more
+    ("execution half" x "safety"), producing a 38 MiB budget on an
+    8g/32-slot box whose tasks measurably peak at 512 MiB and whose
+    static-width RSS fit — the estimator over-fired a 22% width
+    premium (BENCH/stress_escalation_r6.json). Spill headroom now
+    lives in _escalation_decision's spill_tolerance instead of being
+    baked invisibly into the budget."""
     import os
     ov = os.environ.get("FT_SPARK_AUTO_TASK_BUDGET_BYTES")
     if ov:
@@ -264,7 +289,7 @@ def _task_memory_budget(spark) -> int:
             .maxMemory()))
         cores = spark.sparkContext.defaultParallelism
     frac = float(spark.conf.get("spark.memory.fraction", "0.6"))
-    return int(heap * frac * 0.5 / max(cores, 1) * 0.5)
+    return int(heap * frac / max(cores, 1))
 
 
 def _resolve_auto_strategy(spark, base_keys: DataFrame,

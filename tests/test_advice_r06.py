@@ -78,7 +78,8 @@ def test_task_memory_budget_suffixless_is_mib():
     suffixless = _task_memory_budget(_Spark("4096"))
     with_suffix = _task_memory_budget(_Spark("4g"))
     assert suffixless == with_suffix  # 4096 (MiB) == 4g
-    assert suffixless == int((4096 << 20) * 0.6 * 0.5 * 0.5)
+    # r7 calibration: fair share = heap x memory.fraction / slots
+    assert suffixless == int((4096 << 20) * 0.6)
 
 
 def test_simhash_releases_chunk_cache(spark):

@@ -108,12 +108,16 @@ def test_auto_escalates_width_under_tiny_budget(spark, auto_es):
                                      strategy="join"), cols)
     before = spark.conf.get("spark.sql.shuffle.partitions")
     os.environ["FT_SPARK_AUTO_TASK_BUDGET_BYTES"] = "4096"
+    # pin spill tolerance to 1x so the tiny fixture's state is enough
+    # to trip the rung (r7 default is 4x fair share)
+    os.environ["FT_SPARK_AUTO_SPILL_TOLERANCE"] = "1"
     try:
         fm = fts.calculate_feature_matrix(feats, es, cutoff_time=cuts,
                                           strategy="auto")
         got = _fm_rows(fm, cols)
     finally:
         os.environ.pop("FT_SPARK_AUTO_TASK_BUDGET_BYTES")
+        os.environ.pop("FT_SPARK_AUTO_SPILL_TOLERANCE")
         spark.conf.set("spark.sql.shuffle.partitions", before)
     assert cfm.LAST_PREFLIGHT["strategy"] == "join"
     assert cfm.LAST_PREFLIGHT["parts_after"] > \

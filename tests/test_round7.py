@@ -191,3 +191,51 @@ def test_cross_dup_winnowed_offset_invariance(spark):
         _docs(spark, [(1, a), (2, b)]), "doc_id", "text",
         k=20, w=8).collect()}
     assert r[1] > 0 and r[2] > 0
+
+
+# ----------------------------------------------------------------------
+# preflight budget calibration (VERDICT r6 "what's wrong" #1)
+# ----------------------------------------------------------------------
+def test_preflight_default_declines_fitting_workload():
+    """The measured r6 over-fire scenario: 40M rows -> 7.78 GB state
+    estimate over 32 tasks (243 MiB/task) on an 8g heap whose
+    static-width RSS proved the job fits. The calibrated default
+    (fair share 153.6 MiB x spill tolerance 4) must NOT escalate."""
+    from featuretools_spark import cfm
+
+    budget = int((8 << 30) * 0.6 / 32)          # heap x fraction / slots
+    d = cfm._escalation_decision(
+        state_bytes=7_782_400_000, budget_bytes_per_task=budget,
+        current_parts=32, max_parts=32768)
+    assert d["strategy"] == "join" and d["parts"] is None
+
+
+def test_preflight_tight_heap_still_escalates():
+    """Same workload on a 2g heap: fair share 38.4 MiB, tolerance 4
+    -> 153.6 MiB threshold < 243 MiB/task -> escalation still fires,
+    and the escalated width targets 1x budget (hysteresis)."""
+    from featuretools_spark import cfm
+
+    budget = int((2 << 30) * 0.6 / 32)
+    d = cfm._escalation_decision(
+        state_bytes=7_782_400_000, budget_bytes_per_task=budget,
+        current_parts=32, max_parts=32768)
+    assert d["strategy"] == "join"
+    assert d["parts"] == -(-7_782_400_000 // budget)
+
+
+def test_preflight_100x_knee_still_guarded():
+    """The original r5 knee: 100x the state must still escalate hard
+    (or flip to sortmerge past max parts) — calibration must not
+    disable the guardrail."""
+    from featuretools_spark import cfm
+
+    budget = int((8 << 30) * 0.6 / 32)
+    d = cfm._escalation_decision(
+        state_bytes=778_240_000_000, budget_bytes_per_task=budget,
+        current_parts=32, max_parts=32768)
+    assert d["strategy"] == "join" and d["parts"] > 4000
+    d2 = cfm._escalation_decision(
+        state_bytes=778_240_000_000, budget_bytes_per_task=budget,
+        current_parts=32, max_parts=1024)
+    assert d2["strategy"] == "sortmerge"

@@ -48,6 +48,11 @@ def main():
                      if a == "--rows"), 40_000_000))
     out_path = next((sys.argv[i + 1] for i, a in enumerate(sys.argv)
                      if a == "--out"), None)
+    # r7 done-criterion hook: assert the preflight's decision matches
+    # the heap this process was launched with ("decline" on the 8g box
+    # whose static-width RSS proves the job fits; "escalate" tight-heap)
+    expect = next((sys.argv[i + 1] for i, a in enumerate(sys.argv)
+                   if a == "--expect"), None)
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     os.environ["SPARK_GRAFT_BENCH_ROWS"] = str(rows)
@@ -86,8 +91,27 @@ def main():
     }
     print(json.dumps({"auto_escalated": out["legs"]["auto_escalated"]}),
           flush=True)
+    if expect:
+        pf = out["legs"]["auto_escalated"]["preflight"]
+        fired = (pf.get("parts_after", 0) or 0) > (
+            pf.get("parts_before", 0) or 0) or pf["strategy"] == "sortmerge"
+        want = expect == "escalate"
+        if fired != want:
+            print(f"EXPECT-FAIL: wanted {expect}, preflight said "
+                  f"{pf['reason']}", flush=True)
+            sys.exit(2)
+        print(f"EXPECT-OK: {expect}", flush=True)
 
     # Leg 2 — identical plan, preflight OFF, static session width.
+    # --skip-static: on tight-heap runs the static leg is exactly the
+    # configuration the escalation exists to prevent (GC-thrash);
+    # don't run it, the escalated leg's completion is the evidence.
+    if "--skip-static" in sys.argv:
+        print(json.dumps(out))
+        if out_path:
+            with open(out_path, "w") as f:
+                json.dump(out, f, indent=1)
+        return
     os.environ["FT_SPARK_AUTO_PREFLIGHT"] = "0"
     reset_width()
     t0 = time.time()
