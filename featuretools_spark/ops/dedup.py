@@ -679,6 +679,14 @@ def _gram_hasher(hash_fn: str):
     does); "xxhash64" is the scale path (8-byte bigints through the
     shuffle instead of 32-char hex, ~4x less gram payload)."""
     if hash_fn == "md5":
+        # unhex: ship 16-byte binary through the shuffle instead of
+        # 32-char hex (2x less gram payload; bytewise ordering of the
+        # binary equals lexicographic ordering of the lowercase hex,
+        # so winnowing picks the SAME anchors the hex oracle does)
+        return lambda c: F.unhex(F.md5(F.encode(c, "UTF-8"))), "binary"
+    if hash_fn == "md5hex":
+        # legacy r6 representation, kept ONLY for the recorded
+        # before/after shuffle-payload comparison (tools/shuffle_bytes)
         return lambda c: F.md5(F.encode(c, "UTF-8")), "string"
     if hash_fn == "xxhash64":
         return lambda c: F.xxhash64(c), "bigint"
@@ -715,18 +723,25 @@ def _winnow_anchors(gh, w: int):
     same gram — winnowing is the fix, same plan shape.)
 
     Docs with 1..w-1 grams anchor their single partial window, so
-    every doc with >= 1 gram is represented."""
+    every doc with >= 1 gram is represented.
+
+    Plan shape: zip_with binds each window SLICE once, then
+    array_min + array_position scan it — O(n x w) comparisons but
+    only ONE array allocation per window and zero per-element struct
+    allocations (the first r7 cut allocated a (hash, pos) struct per
+    window element; measured 174s -> see BENCH gram-payload artifact).
+    array_position's first-occurrence is the leftmost tie-break, same
+    as SQL list_position."""
     n = F.size(gh)
     wlen = F.least(F.lit(w), n)
+    starts = F.sequence(F.lit(0), n - wlen)
     return F.when(n <= 0, F.expr("CAST(array() AS array<int>)")).otherwise(
-        F.array_distinct(F.transform(
-            F.sequence(F.lit(0), n - wlen),
-            lambda s: F.array_min(F.transform(
-                F.sequence(s, s + wlen - 1),
-                lambda p: F.struct(
-                    F.element_at(gh, p + 1).alias("h"),
-                    p.cast("int").alias("p")),
-            ))["p"],
+        F.array_distinct(F.zip_with(
+            starts,
+            F.transform(starts, lambda s: F.slice(gh, s + 1, wlen)),
+            lambda s, sl: (
+                s + F.array_position(sl, F.array_min(sl)) - 1
+            ).cast("int"),
         ))
     )
 
@@ -757,9 +772,11 @@ def cross_doc_duplication(
     corpus size, no quadratic pair stage. hash_fn="xxhash64" swaps
     the 32-char hex grams for bigints at scale (4x less shuffle);
     "md5" is the oracle-checkable witness mode."""
+    from featuretools_spark.ops.width import ensure_min_width
+
     t = F.lower(F.col(text_col))
-    hashed = df.select(
-        F.col(id_col), _gram_hashes(t, k, hash_fn).alias("_gh"))
+    hashed = ensure_min_width(df.select(F.col(id_col), F.col(text_col))) \
+        .select(F.col(id_col), _gram_hashes(t, k, hash_fn).alias("_gh"))
     grams = hashed.select(
         F.col(id_col),
         F.explode(F.array_distinct(F.transform(
@@ -828,10 +845,13 @@ def trim_duplicated_spans(
     is the bigint scale path; "md5" the oracle witness. Reference
     analog: none (featuretools has no text surface); this is the
     LLM-pipeline tier."""
+    from featuretools_spark.ops.width import ensure_min_width
+
     t = F.col(text_col)
-    hashed = df.select(
-        F.col(id_col).alias("_id"),
-        _gram_hashes(t, k, hash_fn).alias("_gh"))
+    hashed = ensure_min_width(df.select(F.col(id_col), F.col(text_col))) \
+        .select(
+            F.col(id_col).alias("_id"),
+            _gram_hashes(t, k, hash_fn).alias("_gh"))
     pg = hashed.select(
         "_id",
         F.explode(F.transform(
@@ -873,7 +893,9 @@ def trim_duplicated_spans(
         F.expr("CAST(array() AS array<struct<s:int,e:int>>)"),
         _merge,
     )
-    joined = df.join(
+    # widen the surgery side as well: if `pos` broadcasts, the fold
+    # below would otherwise run at the raw scan's (narrow) width
+    joined = ensure_min_width(df).join(
         pos.withColumnRenamed("_id", id_col), id_col, "left"
     ).withColumn("_ivs", ivs).drop("_ps")
     trimmed = F.aggregate(

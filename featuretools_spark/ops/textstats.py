@@ -144,11 +144,13 @@ def repetition_features(
     counts, never text. Docs shorter than n tokens emit zero
     fractions."""
     from featuretools_spark.ops.scrub import word_ngrams
+    from featuretools_spark.ops.width import ensure_min_width
 
-    grams = df.select(
-        F.col(id_col),
-        F.explode(word_ngrams(F.col(text_col), n)).alias("_gram"),
-    )
+    grams = ensure_min_width(df.select(F.col(id_col), F.col(text_col))) \
+        .select(
+            F.col(id_col),
+            F.explode(word_ngrams(F.col(text_col), n)).alias("_gram"),
+        )
     per_gram = grams.groupBy(id_col, "_gram").count()
     agg = per_gram.groupBy(id_col).agg(
         F.sum("count").alias("_total"),
