@@ -54,6 +54,14 @@ HEADLINE = [
                          # min-label propagation (NEW r4)
     "audio_features",    # WAV encode->decode roundtrip via the real
                          # stdlib codec in mapInPandas (NEW r4)
+    # LLM-curation tier (promoted into the interleaved headline loop
+    # r7, VERDICT r6 #3 — previously timed outside the protocol with
+    # an input-layout caveat, retired by ops/width.ensure_min_width)
+    "redact_pii",        # zero-shuffle codegen regexp chain
+    "decontaminate",     # benchmark-gram broadcast semi-join
+    "repetition",        # Gopher word-bigram repetition signals
+    "cross_dup",         # winnowed cross-doc duplicated-span signal
+    "dedup_spans",       # exact-substring span REMOVAL (NEW r7)
 ]
 
 # north-rule backfill workload: synthetic pre-tokenized sequences
