@@ -771,6 +771,23 @@ def q_token_count(spark, sf_dir):
     )
 
 
+def q_token_count_bpe(spark, sf_dir):
+    """Real merge-rank BPE token count (VERDICT r6 #5): the general
+    lowest-rank-pair priority loop over a broadcast merge table,
+    memoized per distinct word, zero shuffle. The witness vocab's
+    merge outputs are consumed only by later merges, so DuckDB
+    replays the exact count as a rank-ordered replace() chain with
+    one sentinel char per merged symbol (see
+    ops/textstats.py:WITNESS_BPE_MERGES for the equivalence
+    argument)."""
+    from featuretools_spark.ops.textstats import (
+        WITNESS_BPE_MERGES, bpe_token_count,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_token_count(docs, "doc_id", "text", WITNESS_BPE_MERGES)
+
+
 def q_lang_id(spark, sf_dir):
     """stopword-heuristic language ID per document."""
     from featuretools_spark.ops.textstats import language_id
@@ -1365,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,
         "token_count": q_token_count,
+        "token_count_bpe": q_token_count_bpe,
         "lang_id": q_lang_id,
         "ann_brute_topk": q_ann_brute_topk,
         "minhash_dedup": q_minhash_dedup,
@@ -2074,6 +2092,27 @@ def oracle_sql() -> dict[str, str]:
                         ELSE len(string_split_regex(trim(text), '\\s+'))
                    END AS ws_tokens,
                    len(regexp_extract_all(text, {_BPE_SQL})) AS bpe_tokens
+            FROM documents
+        """,
+        # real-BPE witness: WITNESS_BPE_MERGES applied as a
+        # rank-ordered replace() chain (merge outputs are fresh
+        # sentinel chars consumed only by later merges, so exhaustive
+        # left-to-right application in rank order == the engine's
+        # lowest-rank-present priority loop; replace() is LTR
+        # non-overlapping in both engines). Token count = codepoints
+        # left after stripping whitespace, since every unmerged char
+        # and every sentinel is exactly one symbol.
+        "token_count_bpe": """
+            SELECT doc_id,
+                   CAST(length(regexp_replace(
+                     replace(replace(replace(replace(
+                     replace(replace(replace(replace(
+                       lower(text),
+                       'th', chr(1)), chr(1) || 'e', chr(2)),
+                       'in', chr(3)), 'er', chr(4)),
+                       'an', chr(5)), 'on', chr(6)),
+                       're', chr(7)), 'at', chr(8)),
+                     '\\s', '', 'g')) AS BIGINT) AS bpe_tokens
             FROM documents
         """,
         "lang_id": """

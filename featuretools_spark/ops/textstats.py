@@ -5,6 +5,7 @@ expressions — regex + array functions, no Python UDFs.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -167,4 +168,96 @@ def repetition_features(
         .alias("top_ngram_frac"),
         _round4(F.when(tot > 0, F.col("_dup") / tot).otherwise(F.lit(0.0)))
         .alias("dup_ngram_frac"),
+    )
+
+
+# Witness merge table for the driver's DuckDB oracle: every merge
+# output is consumed only by LATER merges and no pair member ever
+# reappears as a byproduct of another merge (merging two symbols into
+# a fresh one can only DESTROY adjacencies between base characters,
+# never create them). Under that property, priority-loop BPE over
+# words is exactly equivalent to applying each merge exhaustively
+# left-to-right in rank order over the whole string — which is a
+# chain of replace() calls with one sentinel char per merged symbol,
+# i.e. something DuckDB can replay bit-for-bit (the same
+# witness-oracle trick as fingerprint's md5 mode). The ENGINE does
+# not rely on the property: bpe_token_count runs the general
+# lowest-rank-present loop and handles arbitrary vocabs.
+WITNESS_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"),
+    ("a", "n"), ("o", "n"), ("r", "e"), ("a", "t"),
+]
+
+
+def bpe_token_count(df: DataFrame, id_col: str, text_col: str,
+                    merges, out_col: str = "bpe_tokens") -> DataFrame:
+    """Exact token count under real byte-pair-encoding merge rules
+    (reference: featuretools has no tokenizer surface; contract is
+    the standard tokenizers merges.txt semantics — VERDICT r6 task #5
+    upgrading the BPE-ish regex count to trustworthy accounting).
+
+    ``merges`` is an ordered list of (left, right) symbol pairs; rank
+    = list index. Symbols are strings and merging (a, b) yields the
+    symbol a+b, so chained entries like ("t","h") then ("th","e")
+    compose the way real vocabs do. Per word (maximal non-whitespace
+    run of the lowercased text, chars as base symbols) the
+    lowest-rank pair present is merged left-to-right until no vocab
+    pair remains; the result is total surviving symbols over all
+    words. NULL text -> NULL; empty/whitespace-only -> 0.
+
+    Scale design: a pure map — zero shuffle. The merge table is a
+    Spark broadcast read once per executor; the Arrow-batched UDF
+    memoizes word -> count so Python CPU scales with DISTINCT words
+    per batch (Zipf head dominates), not corpus tokens. At real scale
+    the same seam takes a compiled tokenizer (tiktoken /
+    HF tokenizers); this pure-Python loop is the reference the
+    DuckDB oracle can replay (see WITNESS_BPE_MERGES)."""
+    from pyspark.sql.functions import pandas_udf
+
+    b_merges = df.sparkSession.sparkContext.broadcast(
+        [tuple(p) for p in merges])
+
+    @pandas_udf("long")
+    def _bpe_count(texts: pd.Series) -> pd.Series:
+        ranks = {p: i for i, p in enumerate(b_merges.value)}
+        memo: dict = {}
+
+        def word_tokens(w: str) -> int:
+            n = memo.get(w)
+            if n is not None:
+                return n
+            syms = list(w)
+            while len(syms) > 1:
+                best_rank = None
+                best_pair = None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None
+                                          or r < best_rank):
+                        best_rank, best_pair = r, (syms[i], syms[i + 1])
+                if best_pair is None:
+                    break
+                a, b = best_pair
+                out, i = [], 0
+                while i < len(syms):
+                    if (i < len(syms) - 1 and syms[i] == a
+                            and syms[i + 1] == b):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            memo[w] = len(syms)
+            return memo[w]
+
+        return pd.Series(
+            [None if t is None
+             else sum(word_tokens(w) for w in t.split())
+             for t in texts],
+            dtype="Int64")
+
+    return df.select(
+        F.col(id_col),
+        _bpe_count(F.lower(F.col(text_col))).alias(out_col),
     )
