@@ -788,6 +788,20 @@ def q_token_count_bpe(spark, sf_dir):
     return bpe_token_count(docs, "doc_id", "text", WITNESS_BPE_MERGES)
 
 
+def q_quality_classifier(spark, sf_dir):
+    """fastText-style linear classifier inference (VERDICT r6 stretch
+    #9): hashed word-unigram+bigram features, sigmoid(bias + mean
+    gram weight). Witness mode — per-gram weights injected from
+    md5-hex prefixes (int/2^32 - 0.5: every term and every partial
+    sum exact in double, so linear_score is order-independent and
+    DuckDB replays it bit-for-bit; only the sigmoid goes through
+    libm, quantized half-up to 4 decimals on both sides)."""
+    from featuretools_spark.ops.classify import classifier_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return classifier_score(docs, "doc_id", "text", bias=0.25)
+
+
 def q_lang_id(spark, sf_dir):
     """stopword-heuristic language ID per document."""
     from featuretools_spark.ops.textstats import language_id
@@ -1383,6 +1397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
+        "quality_classifier": q_quality_classifier,
         "lang_id": q_lang_id,
         "ann_brute_topk": q_ann_brute_topk,
         "minhash_dedup": q_minhash_dedup,
@@ -2114,6 +2129,49 @@ def oracle_sql() -> dict[str, str]:
                        're', chr(7)), 'at', chr(8)),
                      '\\s', '', 'g')) AS BIGINT) AS bpe_tokens
             FROM documents
+        """,
+        # fastText-style witness classifier: same grams (lowercased
+        # whitespace unigrams + space-joined bigrams), same injected
+        # md5 weights. Every per-gram weight is integer/2^32 (exact
+        # in double) and per-doc sums stay far below 2^53, so the
+        # gram sum is exact in ANY order; the mean divides identical
+        # operands. Only sigmoid's exp() differs at libm-ulp level —
+        # both sides quantize half-up to 4 decimals.
+        "quality_classifier": f"""
+            WITH toks AS (
+                SELECT doc_id, text,
+                       CASE WHEN text IS NULL THEN NULL
+                            WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE string_split_regex(lower(trim(text)),
+                                                    '\\s+') END AS tk
+                FROM documents
+            ), g AS (
+                SELECT doc_id, text,
+                       CASE WHEN tk IS NULL THEN NULL
+                            ELSE list_concat(tk, list_transform(
+                                range(1, greatest(len(tk) - 1, 0) + 1),
+                                i -> tk[i] || ' ' || tk[i + 1]))
+                       END AS grams
+                FROM toks
+            ), s AS (
+                SELECT doc_id, text, len(grams) AS ng,
+                       0.25 + CASE WHEN len(grams) > 0 THEN
+                           COALESCE(list_sum(list_transform(grams,
+                               x -> ('0x' || substr(md5(x), 1, 8))::BIGINT
+                                    / 4294967296.0 - 0.5)), 0.0)
+                           / len(grams)
+                       ELSE 0.0 END AS lin
+                FROM g
+            )
+            SELECT doc_id,
+                   CAST(CASE WHEN text IS NULL THEN NULL
+                             ELSE ng END AS BIGINT) AS n_grams,
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE {_R('lin')} END AS linear_score,
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE {_R('1.0/(1.0 + exp(-lin))')}
+                   END AS quality_prob
+            FROM s
         """,
         "lang_id": """
             WITH w AS (

@@ -1,0 +1,123 @@
+"""fastText-style linear text-classifier inference — the learned
+quality-scoring stage of a curation stack (next to the heuristic
+repetition_features / language_id / quality_features filters).
+
+No reference analog (featuretools has no text surface). Public
+pattern: fastText supervised (Joulin et al., "Bag of Tricks for
+Efficient Text Classification", 2016) — hashed word-n-gram features,
+a linear layer, a sigmoid. Training happens offline; this op applies
+a trained weight table to a corpus:
+
+    p(doc) = sigmoid(bias + mean over grams g of w(g))
+
+Two weight sources, mirroring fingerprint's xxhash64/md5 mode split:
+
+- ``weights=<1-D numpy array>`` (production): bucket =
+  pmod(xxhash64(gram), len(weights)) computed JVM-side per doc as an
+  int array; a broadcast of the weight table rides into one
+  Arrow-batched UDF that does a vectorized take+mean per doc. Zero
+  shuffle — a pure map; Python touches only int arrays, never text.
+- ``weights=None, hash_fn="md5"`` (witness): per-gram weight
+  w(g) = int(md5(g)[:8 hex]) / 2^32 - 0.5, evaluated entirely in
+  whole-stage-codegen expressions. Every term is an integer/2^32
+  (exact in double) and per-doc magnitudes keep the running sum
+  below 2^53, so the gram sum is EXACT and order-independent — any
+  SQL engine replays linear_score bit-for-bit (the driver's DuckDB
+  oracle does).
+
+Grams are lowercased whitespace-token unigrams + bigrams
+(``ops.scrub.word_ngrams``), the fastText default shape. Empty or
+whitespace-only docs score sigmoid(bias); NULL text scores NULL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from featuretools_spark.ops.scrub import word_ngrams
+from featuretools_spark.ops.textstats import _round4
+
+_TWO32 = 4294967296.0
+
+
+def _grams(text_col, n_max: int):
+    """Ordered unigram..n_max-gram array; [] for empty/whitespace-only
+    text (word_ngrams(t, 1) would emit [''] there — the split of an
+    empty string — so the empty case is handled up front)."""
+    arr = word_ngrams(text_col, 1)
+    for n in range(2, n_max + 1):
+        arr = F.concat(arr, word_ngrams(text_col, n))
+    return F.when(
+        F.trim(text_col) == "", F.array().cast("array<string>")
+    ).otherwise(arr)
+
+
+def classifier_score(
+    df: DataFrame, id_col: str, text_col: str, *,
+    weights=None, bias: float = 0.0, n_max: int = 2,
+    hash_fn: str = "md5", out_col: str = "quality_prob",
+) -> DataFrame:
+    """Score each document with a linear hashed-n-gram classifier.
+
+    Returns (id_col, n_grams, linear_score, out_col) where
+    linear_score = round4(bias + mean gram weight) and out_col =
+    round4(sigmoid of the unrounded linear score).
+    """
+    t = F.col(text_col)
+    grams = _grams(t, n_max)
+    n = F.size(grams)
+
+    if weights is not None:
+        w = np.ascontiguousarray(np.asarray(weights, dtype="float64"))
+        if w.ndim != 1 or w.size == 0:
+            raise ValueError("weights must be a non-empty 1-D array")
+        n_buckets = int(w.size)
+        b_w = df.sparkSession.sparkContext.broadcast(w)
+        idx = F.transform(
+            grams, lambda g: F.pmod(F.xxhash64(g), F.lit(n_buckets))
+        )
+
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("double")
+        def _mean_w(idxs: pd.Series) -> pd.Series:
+            table = b_w.value
+            out = []
+            for a in idxs:
+                if a is None:
+                    out.append(None)
+                elif len(a) == 0:
+                    out.append(0.0)
+                else:
+                    out.append(float(
+                        table[np.asarray(a, dtype="int64")].mean()))
+            return pd.Series(out, dtype="float64")
+
+        mean_w = _mean_w(idx)
+    else:
+        if hash_fn != "md5":
+            raise ValueError(
+                "weights=None requires hash_fn='md5' (the injected "
+                "deterministic witness weights)")
+        per_gram = F.transform(
+            grams,
+            lambda g: F.conv(
+                F.substring(F.md5(F.encode(g, "UTF-8")), 1, 8), 16, 10
+            ).cast("double") / F.lit(_TWO32) - F.lit(0.5),
+        )
+        total = F.aggregate(per_gram, F.lit(0.0), lambda a, x: a + x)
+        mean_w = F.when(n > 0, total / n).otherwise(F.lit(0.0))
+
+    linear = F.when(t.isNull(), F.lit(None).cast("double")) \
+        .otherwise(F.lit(float(bias)) + mean_w)
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-linear))
+    return df.select(
+        F.col(id_col),
+        F.when(t.isNull(), F.lit(None).cast("long"))
+         .otherwise(n.cast("long")).alias("n_grams"),
+        _round4(linear).alias("linear_score"),
+        _round4(prob).alias(out_col),
+    )
