@@ -802,6 +802,25 @@ def q_quality_classifier(spark, sf_dir):
     return classifier_score(docs, "doc_id", "text", bias=0.25)
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split by key hash (durable across
+    re-runs, partitioning and engines — Spark's own sample/sampleBy
+    are seed+partition dependent). md5 witness mode: u = md5 hex
+    prefix / 2^32 is integer/2^32 (exact in double) and the
+    0.75/0.125/0.125 boundaries are exact binary fractions, so split
+    membership replays bit-for-bit in DuckDB with zero boundary
+    ambiguity."""
+    from featuretools_spark.ops.split import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = hash_split(
+        docs, "doc_id",
+        [("train", 0.75), ("val", 0.125), ("test", 0.125)],
+        seed="r7", hash_fn="md5",
+    )
+    return out.select("doc_id", "split")
+
+
 def q_lang_id(spark, sf_dir):
     """stopword-heuristic language ID per document."""
     from featuretools_spark.ops.textstats import language_id
@@ -1398,6 +1417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
         "quality_classifier": q_quality_classifier,
+        "hash_split": q_hash_split,
         "lang_id": q_lang_id,
         "ann_brute_topk": q_ann_brute_topk,
         "minhash_dedup": q_minhash_dedup,
@@ -2129,6 +2149,20 @@ def oracle_sql() -> dict[str, str]:
                        're', chr(7)), 'at', chr(8)),
                      '\\s', '', 'g')) AS BIGINT) AS bpe_tokens
             FROM documents
+        """,
+        # hash split: u = md5-hex-prefix/2^32 (exact double) against
+        # exact-binary boundaries 0.75/0.875 — no cross-engine
+        # float-literal ambiguity possible.
+        "hash_split": """
+            SELECT doc_id,
+                   CASE WHEN u < 0.75 THEN 'train'
+                        WHEN u < 0.875 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         ('0x' || substr(md5(doc_id::VARCHAR || '|r7'),
+                                         1, 8))::BIGINT
+                         / 4294967296.0 AS u
+                  FROM documents)
         """,
         # fastText-style witness classifier: same grams (lowercased
         # whitespace unigrams + space-joined bigrams), same injected

@@ -62,6 +62,12 @@ HEADLINE = [
     "repetition",        # Gopher word-bigram repetition signals
     "cross_dup",         # winnowed cross-doc duplicated-span signal
     "dedup_spans",       # exact-substring span REMOVAL (NEW r7)
+    "token_count_bpe",   # real merge-rank BPE accounting (NEW r7 —
+                         # the one Python-kernel curation op: memoized
+                         # per distinct word, tracked here so a memo
+                         # regression shows up as a perf delta)
+    "quality_classifier",  # fastText-style linear inference (NEW r7)
+    "hash_split",        # deterministic train/val/test split (NEW r7)
 ]
 
 # north-rule backfill workload: synthetic pre-tokenized sequences
