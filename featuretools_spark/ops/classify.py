@@ -66,8 +66,19 @@ def classifier_score(
     linear_score = round4(bias + mean gram weight) and out_col =
     round4(sigmoid of the unrounded linear score).
     """
+    from featuretools_spark.ops.width import ensure_min_width
+
     t = F.col(text_col)
-    grams = _grams(t, n_max)
+    # project the gram array ONCE behind a column boundary: the
+    # linear score references grams three times (weights, size, sum)
+    # and Catalyst re-evaluates a repeated higher-order-function
+    # subtree per reference; and floor the scan width — per-gram md5
+    # is CPU-heavy relative to input bytes, the narrow-scan shape
+    # ops/width.py exists for (measured here: 46s -> ~1s at sf0.1)
+    staged = ensure_min_width(
+        df.select(F.col(id_col), F.col(text_col))
+    ).withColumn("_grams", _grams(t, n_max))
+    grams = F.col("_grams")
     n = F.size(grams)
 
     if weights is not None:
@@ -75,7 +86,7 @@ def classifier_score(
         if w.ndim != 1 or w.size == 0:
             raise ValueError("weights must be a non-empty 1-D array")
         n_buckets = int(w.size)
-        b_w = df.sparkSession.sparkContext.broadcast(w)
+        b_w = staged.sparkSession.sparkContext.broadcast(w)
         idx = F.transform(
             grams, lambda g: F.pmod(F.xxhash64(g), F.lit(n_buckets))
         )
@@ -114,7 +125,7 @@ def classifier_score(
     linear = F.when(t.isNull(), F.lit(None).cast("double")) \
         .otherwise(F.lit(float(bias)) + mean_w)
     prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-linear))
-    return df.select(
+    return staged.select(
         F.col(id_col),
         F.when(t.isNull(), F.lit(None).cast("long"))
          .otherwise(n.cast("long")).alias("n_grams"),
