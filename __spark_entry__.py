@@ -821,6 +821,19 @@ def q_hash_split(spark, sf_dir):
     return out.select("doc_id", "split")
 
 
+def q_pack_chunks(spark, sf_dir):
+    """GPT-style concat-and-slice sequence packing: placement of each
+    document's stream slice into fixed 2048-position training chunks.
+    Exclusive prefix sum runs as a segmented scan (per-partition
+    window + bounded driver carry, the distributed-EWM shape), NOT a
+    one-task global window; all-integer arithmetic, exactly
+    replayable by a single window cumsum in DuckDB."""
+    from featuretools_spark.ops.pack import pack_causal_chunks
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_causal_chunks(docs, "doc_id", "n_chars", 2048)
+
+
 def q_lang_id(spark, sf_dir):
     """stopword-heuristic language ID per document."""
     from featuretools_spark.ops.textstats import language_id
@@ -1418,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": q_token_count_bpe,
         "quality_classifier": q_quality_classifier,
         "hash_split": q_hash_split,
+        "pack_chunks": q_pack_chunks,
         "lang_id": q_lang_id,
         "ann_brute_topk": q_ann_brute_topk,
         "minhash_dedup": q_minhash_dedup,
@@ -2149,6 +2163,29 @@ def oracle_sql() -> dict[str, str]:
                        're', chr(7)), 'at', chr(8)),
                      '\\s', '', 'g')) AS BIGINT) AS bpe_tokens
             FROM documents
+        """,
+        # concat-and-slice packing: one window cumsum (fine
+        # single-node at oracle scale; the ENGINE does the segmented
+        # scan) + generate_series per spanned chunk. CAST the window
+        # sum to BIGINT (DuckDB sums to HUGEINT) and every output to
+        # BIGINT for the typed-hash compare.
+        "pack_chunks": """
+            WITH s AS (
+                SELECT doc_id, n_chars AS n,
+                       CAST(sum(n_chars) OVER (ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_chars
+                            AS BIGINT) AS st
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(c AS BIGINT) AS chunk_id,
+                   CAST(greatest(0, c * 2048 - st) AS BIGINT) AS tok_from,
+                   CAST(least(n, (c + 1) * 2048 - st) AS BIGINT) AS tok_to,
+                   CAST(st + greatest(0, c * 2048 - st) - c * 2048
+                        AS BIGINT) AS chunk_pos
+            FROM s, unnest(generate_series(st // 2048,
+                                           (st + n - 1) // 2048)) AS t(c)
+            WHERE n > 0
         """,
         # hash split: u = md5-hex-prefix/2^32 (exact double) against
         # exact-binary boundaries 0.75/0.875 — no cross-engine

@@ -68,6 +68,8 @@ HEADLINE = [
                          # regression shows up as a perf delta)
     "quality_classifier",  # fastText-style linear inference (NEW r7)
     "hash_split",        # deterministic train/val/test split (NEW r7)
+    "pack_chunks",       # concat-and-slice packing placement via
+                         # segmented prefix scan (NEW r7)
 ]
 
 # north-rule backfill workload: synthetic pre-tokenized sequences
