@@ -834,6 +834,37 @@ def q_pack_chunks(spark, sf_dir):
     return pack_causal_chunks(docs, "doc_id", "n_chars", 2048)
 
 
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end curation COMPOSITION as one lazy plan — the shape a
+    real corpus job runs, each stage an already-oracle-verified op:
+    exact-dedup canonical survivors (sha2 content hash, min-id keep)
+    -> PII redaction chain -> fastText-witness quality gate (keep
+    rounded linear_score >= 0 — the pre-round value is exact in
+    double on both engines, so the gate replays bit-for-bit) ->
+    deterministic md5 hash split. Proves the ops compose: schemas
+    line up, no stage forces materialization, and the whole pipeline
+    remains DuckDB-replayable."""
+    from featuretools_spark.ops.classify import classifier_score
+    from featuretools_spark.ops.dedup import exact_duplicates
+    from featuretools_spark.ops.scrub import redact_pii
+    from featuretools_spark.ops.split import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    canon = (
+        exact_duplicates(docs, ["text"], "doc_id")
+        .filter(~F.col("is_duplicate"))
+        .select("doc_id", "text")
+    )
+    red = redact_pii(canon, "text").select("doc_id", "redacted")
+    scored = classifier_score(red, "doc_id", "redacted")
+    kept = scored.filter(F.col("linear_score") >= 0.0)
+    return hash_split(
+        kept, "doc_id",
+        [("train", 0.75), ("val", 0.125), ("test", 0.125)],
+        seed="pipe", hash_fn="md5",
+    ).select("doc_id", "n_grams", "linear_score", "quality_prob", "split")
+
+
 def q_lang_id(spark, sf_dir):
     """stopword-heuristic language ID per document."""
     from featuretools_spark.ops.textstats import language_id
@@ -1432,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": q_quality_classifier,
         "hash_split": q_hash_split,
         "pack_chunks": q_pack_chunks,
+        "curation_pipeline": q_curation_pipeline,
         "lang_id": q_lang_id,
         "ann_brute_topk": q_ann_brute_topk,
         "minhash_dedup": q_minhash_dedup,
@@ -1536,6 +1568,73 @@ def _redact_pii_oracle() -> str:
                    {red} AS redacted,
                    {counts}
             FROM t
+        """
+
+
+def _curation_pipeline_oracle() -> str:
+    """DuckDB replay of q_curation_pipeline, each stage the same SQL
+    already proven by the single-op oracles: text-partition min-id
+    dedup (== the engine's sha2 content grouping), the PII_PATTERNS
+    replace chain, the exact-integer-sum classifier (bias 0), the
+    rounded-linear >= 0 gate, and the md5 hash split with
+    exact-binary boundaries."""
+    from featuretools_spark.ops.scrub import PII_PATTERNS as P
+
+    red = "text"
+    for k in ("email", "ssn", "phone", "ipv4"):
+        red = f"regexp_replace({red}, '{P[k]}', '[{k.upper()}]', 'g')"
+    return f"""
+            WITH canon AS (
+                SELECT doc_id, text FROM (
+                    -- coalesce mirrors the engine's concat_ws hash
+                    -- input, which folds NULL text to ''
+                    SELECT doc_id, text,
+                           row_number() OVER (PARTITION BY coalesce(text, '')
+                                              ORDER BY doc_id) AS rn
+                    FROM documents) WHERE rn = 1
+            ), red AS (
+                SELECT doc_id, {red} AS rx FROM canon
+            ), toks AS (
+                SELECT doc_id,
+                       CASE WHEN rx IS NULL THEN NULL
+                            WHEN trim(rx) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE string_split_regex(lower(trim(rx)),
+                                                    '\\s+') END AS tk
+                FROM red
+            ), g AS (
+                SELECT doc_id,
+                       CASE WHEN tk IS NULL THEN NULL
+                            ELSE list_concat(tk, list_transform(
+                                range(1, greatest(len(tk) - 1, 0) + 1),
+                                i -> tk[i] || ' ' || tk[i + 1]))
+                       END AS grams
+                FROM toks
+            ), s AS (
+                SELECT doc_id, len(grams) AS ng,
+                       CASE WHEN grams IS NULL THEN NULL
+                            WHEN len(grams) > 0 THEN
+                           COALESCE(list_sum(list_transform(grams,
+                               x -> ('0x' || substr(md5(x), 1, 8))::BIGINT
+                                    / 4294967296.0 - 0.5)), 0.0)
+                           / len(grams)
+                       ELSE 0.0 END AS lin
+                FROM g
+            ), kept AS (
+                SELECT * FROM s
+                WHERE {_R('lin')} >= 0.0
+            )
+            SELECT doc_id,
+                   CAST(ng AS BIGINT) AS n_grams,
+                   {_R('lin')} AS linear_score,
+                   {_R('1.0/(1.0 + exp(-lin))')} AS quality_prob,
+                   CASE WHEN u < 0.75 THEN 'train'
+                        WHEN u < 0.875 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT *,
+                         ('0x' || substr(md5(doc_id::VARCHAR || '|pipe'),
+                                         1, 8))::BIGINT
+                         / 4294967296.0 AS u
+                  FROM kept)
         """
 
 
@@ -2613,6 +2712,7 @@ def oracle_sql() -> dict[str, str]:
                    {_R('corr(l_discount, l_tax)')} FROM lineitem
         """,
         "redact_pii": _redact_pii_oracle(),
+        "curation_pipeline": _curation_pipeline_oracle(),
         "cross_dup": f"""
             -- winnowed md5 k-gram cross-doc duplication, mirroring
             -- ops/dedup.cross_doc_duplication(k=20, w=8)
