@@ -802,21 +802,46 @@ def _asof_sortmerge(child, key_col, time_col, cutoffs, instance_col, specs,
         *marker_salt,
         *nulls,
     )
-    lo_t = (cut_t - F.lit(window_us)) if window_us is not None else F.lit(NEG_INF)
-    lo_rows = cutoffs.select(
-        F.col(instance_col).alias("__k"),
-        lo_t.cast("long").alias("__t"),
-        F.lit(srt).cast("byte").alias("__srt"),
-        F.lit(2).cast("byte").alias("__tag"),
-        *marker_salt,
-        *nulls,
-    )
+    # Unbounded window (no training_window): every lo-marker would sit
+    # at -inf, i.e. at its (key[, salt]) block start — a position the
+    # kernel can read off the sorted stream directly (running max of
+    # events-before-block at key-change boundaries). Skipping the
+    # lo-marker frame halves the marker rows AND removes one full
+    # evaluation of the cutoff-table plan from the union (guide §2.4 /
+    # §1.2 "don't compute things you throw away"); when the cutoff
+    # table is itself a derived plan (not a stored scan), that is an
+    # entire extra scan+aggregate of the child table.
+    if window_us is not None:
+        lo_t = cut_t - F.lit(window_us)
+        lo_rows = cutoffs.select(
+            F.col(instance_col).alias("__k"),
+            lo_t.cast("long").alias("__t"),
+            F.lit(srt).cast("byte").alias("__srt"),
+            F.lit(2).cast("byte").alias("__tag"),
+            *marker_salt,
+            *nulls,
+        )
+    else:
+        lo_rows = None
     range_cols = ["__k", "__salt"] if salted else ["__k"]
     sort_cols = (["__k", "__salt", "__t", "__srt"] if salted
                  else ["__k", "__t", "__srt"])
+    # hash-partition on the entity key (and salt). The kernel only
+    # needs (a) all rows of a key in ONE partition and (b) the
+    # within-partition sort — it never reads cross-partition order —
+    # so hash partitioning is equivalent to the previous
+    # repartitionByRange, minus the range partitioner's SAMPLING JOB,
+    # which evaluated the whole union (scan + markers) once extra
+    # before the real exchange (guide §2.4: remove shuffles/passes
+    # outright). Balance is the same: hashes spread keys uniformly,
+    # and neither partitioner can split a single hot key (salting is
+    # the tool for that, unchanged).
+    unioned = ev.unionByName(hi_rows)
+    if lo_rows is not None:
+        unioned = unioned.unionByName(lo_rows)
     unioned = (
-        ev.unionByName(hi_rows).unionByName(lo_rows)
-        .repartitionByRange(*[F.col(c) for c in range_cols])
+        unioned
+        .repartition(*[F.col(c) for c in range_cols])
         .sortWithinPartitions(*sort_cols)
     )
 
@@ -852,10 +877,25 @@ def _asof_sortmerge(child, key_col, time_col, cutoffs, instance_col, specs,
         # sorted strictly before it = its bound in event-index space.
         cum_ev = np.cumsum(is_ev, dtype=np.int64)
         hi = cum_ev[pos_cut]
-        # the i-th lo-marker corresponds to the i-th cutoff: both
-        # sequences sort by (key, time + const) so their global order
-        # is identical per key and across keys.
-        lo = cum_ev[np.flatnonzero(tag == 2)]
+        if window_us is not None:
+            # the i-th lo-marker corresponds to the i-th cutoff: both
+            # sequences sort by (key, time + const) so their global
+            # order is identical per key and across keys.
+            lo = cum_ev[np.flatnonzero(tag == 2)]
+        else:
+            # unbounded window: no lo-markers were shipped; the lower
+            # bound of every window is its (key[, salt]) block start =
+            # events strictly before the block's first row. Block-start
+            # values are nondecreasing with position, so a running max
+            # over (cum_ev - is_ev) at block boundaries propagates the
+            # right value to every marker position.
+            keys = pdf["__k"]
+            kb = keys.ne(keys.shift()).to_numpy()
+            if "__salt" in pdf.columns:
+                sc = pdf["__salt"]
+                kb = kb | sc.ne(sc.shift()).to_numpy()
+            lo = np.maximum.accumulate(
+                np.where(kb, cum_ev - is_ev, 0))[pos_cut]
         if nobs is not None:
             lo = np.maximum(lo, hi - nobs)
 

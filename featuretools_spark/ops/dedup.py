@@ -476,7 +476,18 @@ def embedding_near_duplicates(
                                         "id_b": idc[jj],
                                         "cos": S[ii, jj]})
 
-            return base.mapInPandas(block, out_schema)
+            # the corpus matrix fits one scan split (a small parquet
+            # file), which would run the whole O(n^2) BLAS sweep as a
+            # SINGLE task — spread the row blocks over the session's
+            # cores so each task multiplies an (n/parts x d) block
+            # (measured sf1: 40.8s -> ~3s at n=20k, local[32]). Each
+            # row's dot products are identical regardless of which
+            # block it lands in, so the pair set is unchanged.
+            parts = min(
+                base.sparkSession.sparkContext.defaultParallelism,
+                max(1, -(-n // 256)),
+            )
+            return base.repartition(parts).mapInPandas(block, out_schema)
         # non-numeric ids: Catalyst pair path (general but slower)
         a, b = base.alias("a"), base.alias("b")
         pairs = a.join(
