@@ -1192,9 +1192,14 @@ def q_audio_features(spark, sf_dir):
     import pandas as pd
 
     from featuretools_spark.ops.multimodal import audio_features, encode_wav
+    from featuretools_spark.ops.width import ensure_min_width
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .select("doc_id")
+    # the id column scans as ONE split (bytes-sized), but the work is
+    # a per-row codec roundtrip — floor the width so the encode+decode
+    # stage uses every core (ops/width.py rationale; r8)
+    docs = ensure_min_width(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id"))
 
     def gen(batches):
         for pdf in batches:
@@ -1228,9 +1233,13 @@ def q_video_features(spark, sf_dir):
 
     from featuretools_spark.ops.multimodal import video_features
     from featuretools_spark.ops.avi import encode_avi_mjpeg
+    from featuretools_spark.ops.width import ensure_min_width
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
-        .select("doc_id")
+    # same width floor as q_audio_features: per-row codec work behind
+    # a one-split id scan (r8)
+    docs = ensure_min_width(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id"))
 
     def gen(batches):
         for pdf in batches:

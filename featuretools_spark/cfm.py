@@ -422,6 +422,22 @@ def _calculate_feature_matrix(
     )
     if instance_ids is not None:
         cutoffs = cutoffs.filter(F.col(index_col).isin(list(instance_ids)))
+    if (pass_cols and scalar_cutoff is None
+            and _is_derived_plan(cutoffs)):
+        # The cutoff table feeds TWO independent plan consumers when
+        # it carries pass columns: the distinct (instance, time) key
+        # set driving the aggregations, and the final pass-column
+        # re-attach join. Each subtree re-evaluates the user's cutoff
+        # plan — a full extra scan+aggregate when cutoff_time is
+        # DERIVED rather than stored (exchange reuse cannot fire:
+        # column pruning gives the two subtrees different shapes). A
+        # LAZY localCheckpoint materializes the (small, target-grain)
+        # cutoff rows once at first use and lets every consumer read
+        # the stored partitions — no extra eager job, one evaluation
+        # of the arbitrary user plan (guide §2.4 "remove passes").
+        # Cheap stored scans are left alone: re-scanning a parquet
+        # file twice beats holding a copy in block storage.
+        cutoffs = cutoffs.localCheckpoint(eager=False)
 
     # ---- dedupe features by name, keep order; slices pull in bases ----
     ordered, seen = [], set()
@@ -996,6 +1012,22 @@ def _find_es(features):
             if es is not None:
                 return es
     raise ValueError("no EntitySet found on features")
+
+
+def _is_derived_plan(df) -> bool:
+    """True when the DataFrame's analyzed plan contains non-trivial
+    operators (aggregates, joins, generators, windows, set ops) —
+    i.e. re-evaluating it costs real work, unlike a scan/project/
+    filter over stored files. Best-effort: unknown shapes count as
+    derived (materializing a small frame twice is cheaper than
+    re-running an expensive plan twice)."""
+    try:
+        s = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return True
+    return any(k in s for k in (
+        "Aggregate", "Join", "Generate", "Window", "Union",
+        "Deduplicate", "Distinct"))
 
 
 def _build_cutoffs(es, target, index_col, cutoff_time):

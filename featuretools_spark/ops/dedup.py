@@ -795,10 +795,20 @@ def cross_doc_duplication(
             lambda p: F.element_at(F.col("_gh"), p + 1),
         ))).alias("_g"),
     )
-    dfreq = grams.groupBy("_g").agg(
-        F.countDistinct(id_col).alias("_df"))
+    # doc-frequency via a window over the gram key instead of a
+    # groupBy + join-back: the (id, gram) rows are DISTINCT per doc
+    # (array_distinct above), so count(*) over the gram partition IS
+    # countDistinct(doc). The join formulation evaluated the whole
+    # gram+winnow subtree TWICE (the aggregate side and the join side
+    # have different shapes, so no exchange reuse) and shuffled the
+    # gram rows twice; the window shape hashes them ONCE and reads
+    # the per-gram count off the sorted partition (guide §2.4).
+    # Window groups buffer one gram's rows and spill when degenerate
+    # boilerplate grams get hot — same skew exposure the join-back's
+    # gram-side shuffle had.
     per_doc = (
-        grams.join(dfreq, "_g")
+        grams.withColumn(
+            "_df", F.count(F.lit(1)).over(W.partitionBy("_g")))
         .groupBy(id_col)
         .agg(
             F.count("*").alias("_n"),
@@ -872,14 +882,27 @@ def trim_duplicated_spans(
                 F.element_at(F.col("_gh"), p + 1).alias("g")),
         )).alias("_pg"),
     ).select("_id", F.col("_pg.p").alias("_p"), F.col("_pg.g").alias("_g"))
-    dfreq = (
-        pg.select("_id", "_g").distinct()
-        .groupBy("_g").agg(F.count("*").alias("_df"))
-        .filter(F.col("_df") >= min_df)
-        .select("_g")
-    )
+    # doc-frequency + position filter in ONE pass over the anchored
+    # grams: the old distinct -> groupBy -> join-back shape evaluated
+    # the gram+winnow subtree TWICE (no exchange reuse between the
+    # aggregate and join sides) and shuffled the gram rows three
+    # times. Both window functions partition by the gram key, so one
+    # exchange + one sort (_g, _id, _p) serves them: `_first` marks
+    # the first row of each (_g, _id) run, its per-gram sum is
+    # exactly countDistinct(_id), and the filter keeps the same rows
+    # the inner join against the min_df gram set kept. Window groups
+    # buffer one gram's rows and spill when a gram is degenerate-hot
+    # — the same skew exposure the join-back shuffle had.
+    wg_ord = W.partitionBy("_g").orderBy("_id", "_p")
+    wg = W.partitionBy("_g")
     pos = (
-        pg.join(dfreq, "_g")
+        pg.withColumn(
+            "_first",
+            F.coalesce(F.lag("_id").over(wg_ord) != F.col("_id"),
+                       F.lit(True)))
+        .withColumn(
+            "_df", F.sum(F.when(F.col("_first"), 1).otherwise(0)).over(wg))
+        .filter(F.col("_df") >= min_df)
         .groupBy("_id")
         .agg(F.sort_array(F.collect_set("_p")).alias("_ps"))
     )

@@ -147,27 +147,60 @@ def repetition_features(
     from featuretools_spark.ops.scrub import word_ngrams
     from featuretools_spark.ops.width import ensure_min_width
 
-    grams = ensure_min_width(df.select(F.col(id_col), F.col(text_col))) \
-        .select(
-            F.col(id_col),
-            F.explode(word_ngrams(F.col(text_col), n)).alias("_gram"),
-        )
-    per_gram = grams.groupBy(id_col, "_gram").count()
-    agg = per_gram.groupBy(id_col).agg(
-        F.sum("count").alias("_total"),
-        F.max("count").alias("_top"),
-        F.sum(F.when(F.col("count") > 1, F.col("count"))
-              .otherwise(F.lit(0))).alias("_dup"),
+    # ZERO-shuffle formulation: per-gram counts of one document are a
+    # run-length scan of its SORTED gram array, so the three signals
+    # fold out of one per-row pass — no explode, no groupBy(id, gram)
+    # + rollup exchanges of raw gram strings (the r6 shape shuffled
+    # every (id, gram, count) row twice; guide §2.3/§2.4). State:
+    # (prev gram, current run length, best closed run, dup total);
+    # closing a run folds it into best/dup exactly like the old
+    # max(count) / sum(count where count > 1) aggregates.
+    sorted_g = F.array_sort(word_ngrams(F.col(text_col), n))
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("cur"),
+        F.lit(0).cast("long").alias("top"),
+        F.lit(0).cast("long").alias("dup"),
     )
-    out = df.select(id_col).join(agg, id_col, "left")
-    tot = F.coalesce(F.col("_total"), F.lit(0))
-    return out.select(
+
+    def _step(st, x):
+        same = st["prev"].isNotNull() & (x == st["prev"])
+        closed_top = F.greatest(st["top"], st["cur"])
+        closed_dup = st["dup"] + F.when(
+            st["cur"] > 1, st["cur"]).otherwise(F.lit(0).cast("long"))
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, st["cur"] + 1)
+             .otherwise(F.lit(1).cast("long")).alias("cur"),
+            F.when(same, st["top"]).otherwise(closed_top).alias("top"),
+            F.when(same, st["dup"]).otherwise(closed_dup).alias("dup"),
+        )
+
+    def _fin(st):
+        return F.struct(
+            F.greatest(st["top"], st["cur"]).alias("top"),
+            (st["dup"] + F.when(st["cur"] > 1, st["cur"])
+             .otherwise(F.lit(0).cast("long"))).alias("dup"),
+        )
+
+    staged = ensure_min_width(df.select(F.col(id_col), F.col(text_col))) \
+        .withColumn("_sorted", sorted_g)
+    stats = staged.select(
         F.col(id_col),
-        tot.cast("long").alias("n_grams"),
-        _round4(F.when(tot > 0, F.col("_top") / tot).otherwise(F.lit(0.0)))
-        .alias("top_ngram_frac"),
-        _round4(F.when(tot > 0, F.col("_dup") / tot).otherwise(F.lit(0.0)))
-        .alias("dup_ngram_frac"),
+        F.coalesce(F.size("_sorted"), F.lit(0)).cast("long").alias("_tot"),
+        F.aggregate(
+            F.coalesce(F.col("_sorted"),
+                       F.expr("CAST(array() AS array<string>)")),
+            init, _step, _fin).alias("_st"),
+    )
+    tot = F.col("_tot")
+    return stats.select(
+        F.col(id_col),
+        tot.alias("n_grams"),
+        _round4(F.when(tot > 0, F.col("_st.top") / tot)
+                .otherwise(F.lit(0.0))).alias("top_ngram_frac"),
+        _round4(F.when(tot > 0, F.col("_st.dup") / tot)
+                .otherwise(F.lit(0.0))).alias("dup_ngram_frac"),
     )
 
 
