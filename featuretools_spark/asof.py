@@ -342,6 +342,13 @@ def _asof_join(child, key_col, time_col, cutoffs, instance_col, specs,
         F.col(f"__cut.{instance_col}").alias(instance_col),
         F.col(f"__cut.{cutoff_col}").alias(cutoff_col),
     ) if not (expr_specs or flag_specs) else None
+    # Join strategy deliberately left to the planner (guide §3.1 was
+    # evaluated here in round 8): forcing a shuffled-hash build on the
+    # cutoff side wins ~10% at sparse cutoff densities (4/entity) but
+    # loses 3x at dense ones (64/entity: the "small" build side is
+    # events x 64, measured 10.4s -> 32.5s at 20M rows), and the
+    # engine cannot know the density without counting. Sort-merge
+    # degrades gracefully in both regimes.
     joined = cut.join(ev, cond, "left")
 
     def spec_mask(s):
@@ -861,11 +868,29 @@ def _asof_sortmerge(child, key_col, time_col, cutoffs, instance_col, specs,
     nobs = n_observations
 
     def merge_partition(batches):
-        parts = list(batches)
-        if not parts:
+        # Arrow-native ingest (guide §4.2): concatenate the record
+        # batches into one table (one memcpy per column) and read
+        # numeric columns as numpy views — no pandas DataFrame, no
+        # per-row string boxing for the key column (the old pd.concat
+        # + column conversions dominated the Python-side cost).
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        blist = list(batches)
+        if not blist:
             return
-        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
-        tag = pdf["__tag"].to_numpy()
+        tbl = pa.Table.from_batches(blist).combine_chunks()
+        n_rows = tbl.num_rows
+        if n_rows == 0:
+            return
+
+        def col_np(name, fill_false=False):
+            c = tbl.column(name).chunk(0)
+            if fill_false:
+                c = pc.fill_null(c, False)
+            return c.to_numpy(zero_copy_only=False)
+
+        tag = col_np("__tag")
         is_ev = tag == 0
         pos_cut = np.flatnonzero(tag == 1)
         nC = len(pos_cut)
@@ -888,21 +913,30 @@ def _asof_sortmerge(child, key_col, time_col, cutoffs, instance_col, specs,
             # events strictly before the block's first row. Block-start
             # values are nondecreasing with position, so a running max
             # over (cum_ev - is_ev) at block boundaries propagates the
-            # right value to every marker position.
-            keys = pdf["__k"]
-            kb = keys.ne(keys.shift()).to_numpy()
-            if "__salt" in pdf.columns:
-                sc = pdf["__salt"]
-                kb = kb | sc.ne(sc.shift()).to_numpy()
+            # right value to every marker position. Boundary flags come
+            # from vectorized Arrow comparisons of the column against
+            # itself shifted by one (null-vs-null counts as a boundary,
+            # matching the previous pandas .ne(shift) semantics).
+            def bounds(name):
+                c = tbl.column(name).chunk(0)
+                flags = np.ones(n_rows, dtype=bool)
+                if n_rows > 1:
+                    ne = pc.fill_null(pc.not_equal(
+                        c.slice(1), c.slice(0, n_rows - 1)), True)
+                    flags[1:] = ne.to_numpy(zero_copy_only=False)
+                return flags
+            kb = bounds("__k")
+            if "__salt" in tbl.column_names:
+                kb = kb | bounds("__salt")
             lo = np.maximum.accumulate(
                 np.where(kb, cum_ev - is_ev, 0))[pos_cut]
         if nobs is not None:
             lo = np.maximum(lo, hi - nobs)
 
-        evp = pdf[is_ev]
-        et = evp["__t"].to_numpy()
-        ck = pdf["__k"].to_numpy()[pos_cut]
-        ct = pdf["__t"].to_numpy()[pos_cut]
+        t_all = col_np("__t")
+        et = t_all[is_ev]
+        ck = tbl.column("__k").chunk(0).take(pa.array(pos_cut))
+        ct = t_all[pos_cut]
         # time origin for trend's x prefix sums (precision; see prefixes)
         o_us = int(et[0]) if len(et) else 0
 
@@ -913,10 +947,10 @@ def _asof_sortmerge(child, key_col, time_col, cutoffs, instance_col, specs,
         def vals(col, wcol):
             k = (col, wcol)
             if k not in val_cache:
-                v = (evp[f"__v_{col}"].values.astype(np.float64)
-                     if col else None)
+                # nullable double -> float64 with NaN at nulls
+                v = col_np(f"__v_{col}")[is_ev] if col else None
                 if wcol is not None:
-                    m = evp[f"__w_{wcol}"].fillna(False).values.astype(bool)
+                    m = col_np(f"__w_{wcol}", fill_false=True)[is_ev]
                     if v is not None:
                         v = np.where(m, v, np.nan)
                     val_cache[k] = (v, m)
@@ -1147,11 +1181,25 @@ def _asof_sortmerge(child, key_col, time_col, cutoffs, instance_col, specs,
                     ok = ok3 & ~zero_var
                     res[ok] = (cov / varx * div)[ok]
             out[out_name] = res
-        yield pd.DataFrame(out)
+        # Arrow-native egress: numpy -> Arrow directly against the
+        # declared schema (from_pandas=True keeps the mapInPandas
+        # convention that NaN means null)
+        arrs = []
+        for i, (_nm, a) in enumerate(out.items()):
+            ftype = arrow_out_schema.field(i).type
+            if isinstance(a, (pa.Array, pa.ChunkedArray)):
+                arrs.append(a.cast(ftype) if a.type != ftype else a)
+            else:
+                arrs.append(pa.array(a, type=ftype, from_pandas=True))
+        yield pa.RecordBatch.from_arrays(arrs, schema=arrow_out_schema)
 
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType
+
+    arrow_out_schema = to_arrow_schema(StructType.fromDDL(out_fields))
     if _DEBUG_CAPTURE is not None:
         _DEBUG_CAPTURE["unioned"] = unioned
-    result = unioned.mapInPandas(merge_partition, schema=out_fields)
+    result = unioned.mapInArrow(merge_partition, schema=out_fields)
     if _DEBUG_CAPTURE is not None:
         _DEBUG_CAPTURE["kernel_out"] = result
     if salted:

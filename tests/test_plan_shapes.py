@@ -41,11 +41,26 @@ def test_bpe_token_count_is_shuffle_free(spark):
     assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
 
 
-def test_classifier_witness_mode_is_shuffle_free_codegen(spark):
+def test_classifier_witness_mode_is_shuffle_free(spark):
+    # r8: the default witness path moved the (exact, order-free)
+    # md5-weight fold into ONE Arrow-batched UDF — still zero-shuffle,
+    # tokenization and sigmoid/rounding still JVM expressions; the
+    # pure-codegen fold remains available behind fast_witness=False
     plan = _executed(
         classifier_score(_wide_docs(spark), "doc_id", "text"))
     assert "Exchange" not in plan
-    # witness mode is pure Catalyst expressions — no Python at all
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_classifier_witness_fast_and_expr_paths_agree(spark):
+    fast = classifier_score(_wide_docs(spark), "doc_id", "text",
+                            bias=0.25)
+    slow = classifier_score(_wide_docs(spark), "doc_id", "text",
+                            bias=0.25, fast_witness=False)
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
+    plan = _executed(slow)
+    # the expression path stays pure codegen — no Python at all
     assert "EvalPython" not in plan
 
 
