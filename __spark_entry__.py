@@ -1332,8 +1332,13 @@ def q_redact_pii(spark, sf_dir):
     deterministic payload (function of doc_id) is appended in BOTH
     engines; the oracle re-runs the identical chain in DuckDB."""
     from featuretools_spark.ops.scrub import redact_pii
+    from featuretools_spark.ops.width import ensure_min_width
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # 8 regex passes per row behind a one-split byte-sized scan: floor
+    # the width so the codegen map uses every core (r8; the op itself
+    # stays a pure zero-shuffle map)
+    docs = ensure_min_width(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"))
     injected = docs.select(
         "doc_id",
         F.concat(
