@@ -293,7 +293,8 @@ def _task_memory_budget(spark) -> int:
 
 
 def _resolve_auto_strategy(spark, base_keys: DataFrame,
-                           n_agg_feats: int) -> str:
+                           n_agg_feats: int,
+                           count_frame: DataFrame | None = None) -> str:
     """Run the pre-flight estimator and APPLY its decision: returns
     the resolved strategy, raising spark.sql.shuffle.partitions (and
     the AQE initial width, which is what AQE actually starts from)
@@ -311,8 +312,15 @@ def _resolve_auto_strategy(spark, base_keys: DataFrame,
         return "join"
     # the cutoff table is an INPUT (usually a parquet scan): counting
     # it is metadata-cheap relative to the backfill it gates, and only
-    # strategy="auto" pays it
-    n_pairs = base_keys.count()
+    # strategy="auto" pays it. r8 (BENCH/ab_preflight_r8.json): the
+    # count is taken on the RAW cutoff frame when provided — a
+    # map-side count with no exchange — instead of the distinct key
+    # set, whose dedup shuffle cost 5.8s at 25.6M pairs. Duplicate
+    # cutoff rows then overestimate n_pairs, which errs toward MORE
+    # shuffle width (AQE coalesces unneeded partitions back), never
+    # toward under-provisioning.
+    n_pairs = (count_frame if count_frame is not None
+               else base_keys).count()
     key_b = int(os.environ.get("FT_SPARK_AUTO_KEY_BYTES", "64"))
     feat_b = int(os.environ.get("FT_SPARK_AUTO_STATE_BYTES_PER_FEAT", "48"))
     state = n_pairs * (key_b + feat_b * max(n_agg_feats, 1))
@@ -495,7 +503,8 @@ def _calculate_feature_matrix(
     ]
     if strategy == "auto":
         strategy = _resolve_auto_strategy(
-            base_keys.sparkSession, base_keys, len(agg_feats))
+            base_keys.sparkSession, base_keys, len(agg_feats),
+            count_frame=cutoffs if scalar_cutoff is None else None)
     scalar_ctx = (scalar_cutoff, include_cutoff_time, training_window,
                   strategy)
 

@@ -52,6 +52,19 @@ def pack_causal_chunks(
     Zero-length docs occupy no stream positions and emit no rows.
     Docs longer than ``capacity`` span multiple chunks (they are
     split, the causal-LM convention, not rejected).
+
+    EXECUTION SEMANTICS (ADVICE r7): this op runs EAGERLY at call
+    time — the per-partition totals are collected to the driver and
+    the result is localCheckpoint(eager=True)ed so the placement is
+    pinned against the range partitioner's sampling nondeterminism.
+    The returned DataFrame reads materialized blocks: they are not
+    fault-tolerant (recompute = rerun this function) and stay cached
+    until the DataFrame is garbage-collected, so write the placement
+    out (or drop the reference) promptly rather than holding many
+    copies. Plan-shape note: the per-partition cumsum window inserts
+    a second exchange (hash on the partition id) after the range
+    exchange — the rows moved are (id, len) pairs, so the cost is
+    bounded by the id column, not the payload.
     """
     if capacity <= 0:
         raise ValueError("capacity must be positive")
