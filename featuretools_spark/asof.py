@@ -17,15 +17,19 @@ strategy="join" (default; pure JVM, whole-stage codegen):
     (entityset.py:1407-1457): include_cutoff_time=True → t <= cutoff,
     window t > cutoff-w; False → t < cutoff, window t >= cutoff-w.
 
-strategy="sortmerge" (vectorized Arrow kernel):
+strategy="sortmerge" (marker-union kernel):
     union events + per-cutoff WINDOW MARKERS (one row at the cutoff
-    time, one at the window start / key start), repartitionByRange on
-    the entity key, sortWithinPartitions(key, time, tiebreak), then
-    ONE mapInPandas pass per partition. Because markers sort into the
-    event stream, every window bound is read off a single cumulative
-    event count at the marker's sorted position — zero searching, zero
-    per-key Python: the whole kernel is O(partition) numpy (prefix
-    sums / reduceat). Wins when cutoffs per entity are many (dense
+    time, one at the window start / key start), hash-repartition on
+    the entity key, sortWithinPartitions(key, time, tiebreak). Because
+    markers sort into the event stream, every window bound is read off
+    cumulative event aggregates at the marker's sorted position. Two
+    evaluators share that one exchange + sort: UNBOUNDED windows with
+    no last-N clamp run as pure-JVM running window functions at the
+    marker rows (r8 — no Python boundary at all; the measured dominant
+    cost of the Arrow sweep was JVM→Python serialization of the whole
+    stream, not compute); windowed/last-N/trend calls run the ONE
+    mapInArrow numpy pass per partition (prefix sums / reduceat, zero
+    per-key Python). Wins when cutoffs per entity are many (dense
     backfills). Primitives the kernel cannot vectorize (median,
     num_unique, twostage holistics), non-numeric inputs, and
     secondary-time-index masks are routed to strategy="join"
@@ -706,6 +710,151 @@ def _salt_merge_exprs(spec_rows):
     return exprs
 
 
+# Primitives whose unbounded-window value is a RUNNING aggregate over
+# the sorted (key, time, tiebreak) stream — expressible as pure-JVM
+# window functions (guide §4.1: built-ins over any Python boundary).
+# trend is excluded: its origin-shifted x/x²/x·y sums would need a
+# different numeric sequence than the Arrow kernel's; specs containing
+# it keep the Arrow path.
+_RUNNING_PRIMS = _KERNEL_PRIMS - {"trend"}
+
+
+def _running_window_result(unioned, spec_rows, instance_col, key_cast,
+                           range_cols, salted):
+    """Pure-JVM replacement for the Arrow sweep in the UNBOUNDED,
+    no-n_observations case: every kernel output is a running window
+    aggregate over the same one exchange + one sort the kernel already
+    needs (partitionBy key[, salt], orderBy (t, tiebreak), ROWS
+    UNBOUNDED PRECEDING..CURRENT ROW), read off at the marker rows.
+
+    Rationale (guide §4.1/§4.2 measured the other way around): at 20M
+    events + 12.8M markers the mapInArrow kernel's cost is NOT the
+    numpy math (~0.2s/task) but the JVM→Python Arrow serialization of
+    the whole 33M-row stream (~7s of an 11.7s stage — measured with a
+    drain-only UDF, BENCH r8). Running JVM window aggregates keep the
+    same algorithm — cumulative counts/sums at each marker position —
+    without any row ever crossing the Python boundary.
+
+    Emits the exact schema the Arrow kernel emits (unsalted: finals;
+    salted: the _SALT_PARTIALS columns), so every downstream step
+    (salt merge, casts, defaults) is shared.
+    """
+    is_ev = F.col("__tag") == F.lit(0)
+    w = (
+        W.partitionBy(*range_cols)
+        .orderBy("__t", "__srt")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+
+    def over(e):
+        return e.over(w)
+
+    ct = F.col("__t")
+    out_exprs = []
+    for out_name, pname, in_cols, wcol in spec_rows:
+        col = in_cols[0] if in_cols else None
+        cond = is_ev
+        if wcol is not None:
+            cond = cond & F.coalesce(F.col(f"__w_{wcol}"), F.lit(False))
+        if col is not None:
+            v = F.when(cond, F.col(f"__v_{col}"))      # null unless valid
+            vt = F.when(cond & F.col(f"__v_{col}").isNotNull(),
+                        F.col("__t"))
+            n = over(F.count(v))
+        else:
+            v = None
+            vt = F.when(cond, F.col("__t"))
+            n = over(F.count(F.when(cond, F.lit(1))))
+
+        def need(p):
+            if p == "n":
+                return n.cast("double")
+            if p == "s":
+                return over(F.sum(v))
+            if p == "ss":
+                return over(F.sum(v * v))
+            if p == "mn":
+                return over(F.min(v))
+            if p == "mx":
+                return over(F.max(v))
+            if p == "ft":
+                return over(F.min(vt)).cast("double")
+            if p == "lt":
+                return over(F.max(vt)).cast("double")
+            if p == "fv":
+                return over(F.first(v, ignorenulls=True))
+            if p == "lv":
+                return over(F.last(v, ignorenulls=True))
+            if p == "na":
+                return over(F.count(F.when(is_ev, F.lit(1)))).cast("double")
+            raise ValueError(p)  # pragma: no cover
+
+        if salted:
+            for p in _SALT_PARTIALS[pname]:
+                out_exprs.append(need(p).alias(f"{out_name}__{p}"))
+            continue
+
+        # unsalted finals — mirror the Arrow kernel's formulas (and
+        # NaN-means-null conventions) op for op
+        if pname == "count":
+            e = n.cast("double")
+        elif pname in ("sum", "num_true"):
+            e = over(F.sum(v))
+        elif pname == "mean":
+            e = over(F.sum(v)) / n
+        elif pname in ("std", "variance"):
+            s_, ss_ = over(F.sum(v)), over(F.sum(v * v))
+            m = s_ / n
+            var = F.greatest(ss_ / n - m * m, F.lit(0.0))
+            e = F.when(n > 0, F.sqrt(var) if pname == "std" else var)
+        elif pname == "min":
+            e = over(F.min(v))
+        elif pname == "max":
+            e = over(F.max(v))
+        elif pname in ("first", "last"):
+            e = (over(F.first(v, ignorenulls=True)) if pname == "first"
+                 else over(F.last(v, ignorenulls=True)))
+        elif pname == "percent_true":
+            na = over(F.count(F.when(is_ev, F.lit(1))))
+            e = F.when(na > 0, F.coalesce(over(F.sum(v)), F.lit(0.0)) / na)
+        elif pname == "any":
+            e = over(F.max(v)) > 0
+        elif pname == "all":
+            e = over(F.min(v)) > 0
+        elif pname == "time_since_last":
+            e = F.when(n > 0, (ct - over(F.max(vt))) / F.lit(1e6))
+        elif pname == "time_since_first":
+            e = F.when(n > 0, (ct - over(F.min(vt))) / F.lit(1e6))
+        elif pname == "first_last_time_delta":
+            e = F.when(
+                n > 0, (over(F.max(vt)) - over(F.min(vt))) / F.lit(1e6))
+        elif pname == "avg_time_between":
+            e = F.when(
+                n > 1,
+                (over(F.max(vt)) - over(F.min(vt))) / F.lit(1e6) / (n - 1),
+            )
+        else:  # pragma: no cover — gated by _RUNNING_PRIMS
+            raise ValueError(pname)
+        typ = "boolean" if pname in _KERNEL_BOOL else "double"
+        out_exprs.append(e.cast(typ).alias(out_name))
+
+    out_names = (
+        [f"{o}__{p}" for o, pname, _i, _w in spec_rows
+         for p in _SALT_PARTIALS[pname]]
+        if salted else [o for o, _p, _i, _w in spec_rows]
+    )
+    return (
+        unioned
+        .select(F.col("__k"), F.col("__t"), F.col("__tag"), *out_exprs)
+        .filter(F.col("__tag") == F.lit(1))
+        .select(
+            F.col("__k").cast(key_cast).alias(instance_col),
+            F.col("__t").alias("__t_out"),
+            *[F.col(f"`{c}`") for c in out_names],
+        )
+    )
+
+
 # When set to a dict (tools/profile_sortmerge.py), _asof_sortmerge
 # records its staged DataFrames so the profiler can time the
 # shuffle+sort input and the kernel output independently of the
@@ -1199,7 +1348,27 @@ def _asof_sortmerge(child, key_col, time_col, cutoffs, instance_col, specs,
     arrow_out_schema = to_arrow_schema(StructType.fromDDL(out_fields))
     if _DEBUG_CAPTURE is not None:
         _DEBUG_CAPTURE["unioned"] = unioned
-    result = unioned.mapInArrow(merge_partition, schema=out_fields)
+    # Unbounded windows with no last-N clamp: every kernel output is a
+    # running aggregate at the marker's sorted position — evaluate it
+    # as pure-JVM window functions over the exchange+sort the kernel
+    # already pays, instead of shipping the whole stream through the
+    # Python boundary (the measured dominant cost; see
+    # _running_window_result). FT_SPARK_SM_JVM=0 forces the Arrow
+    # kernel (A/B and parity tests).
+    import os as _os
+    use_jvm = (
+        window_us is None
+        and nobs is None
+        and all(r[1] in _RUNNING_PRIMS for r in spec_rows)
+        and _os.environ.get("FT_SPARK_SM_JVM", "1") != "0"
+    )
+    if use_jvm:
+        result = _running_window_result(
+            unioned, spec_rows, instance_col,
+            key_type.dataType.simpleString(), range_cols, salted,
+        )
+    else:
+        result = unioned.mapInArrow(merge_partition, schema=out_fields)
     if _DEBUG_CAPTURE is not None:
         _DEBUG_CAPTURE["kernel_out"] = result
     if salted:
