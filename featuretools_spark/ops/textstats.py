@@ -216,6 +216,16 @@ def repetition_features(
 # witness-oracle trick as fingerprint's md5 mode). The ENGINE does
 # not rely on the property: bpe_token_count runs the general
 # lowest-rank-present loop and handles arbitrary vocabs.
+#
+# WITNESS CONTRACT (ADVICE r7): the oracle's replay additionally
+# assumes the corpus text contains no control chars \x01-\x08 (the
+# oracle's merge sentinels) and no non-ASCII whitespace — the oracle
+# tokenizes words with an ASCII \s regex while the engine uses
+# Python str.split() (Unicode whitespace), and the engine treats
+# \x01-\x08 as ordinary base symbols. The driver's documents
+# satisfy both (ASCII-printable text); corpora that don't must
+# normalize before the witness comparison (the ENGINE's own counts
+# are well-defined either way).
 WITNESS_BPE_MERGES = [
     ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"),
     ("a", "n"), ("o", "n"), ("r", "e"), ("a", "t"),
