@@ -438,20 +438,23 @@ def embedding_near_duplicates(
 
     base = df.select(F.col(id_col), F.col(vec_col))
     if method == "exact":
-        n = base.count()
-        if n > max_rows_exact:
-            raise ValueError(
-                f"embedding_near_duplicates(method='exact') is quadratic: "
-                f"{n} rows > max_rows_exact={max_rows_exact}; use "
-                f"method='lsh' at corpus scale"
-            )
         id_type = base.schema[id_col].dataType.simpleString()
         if id_type in ("tinyint", "smallint", "int", "bigint",
                        "float", "double"):
             import numpy as np
             import pandas as pd
 
-            data = base.collect()   # bounded by max_rows_exact
+            # ONE bounded job instead of count-then-collect (two full
+            # scans): limit(max+1) caps driver memory exactly like the
+            # old count guard did, and len() supplies the refusal
+            data = base.limit(max_rows_exact + 1).collect()
+            n = len(data)
+            if n > max_rows_exact:
+                raise ValueError(
+                    f"embedding_near_duplicates(method='exact') is "
+                    f"quadratic: > max_rows_exact={max_rows_exact} rows; "
+                    f"use method='lsh' at corpus scale"
+                )
             ids_c = np.array([r[0] for r in data])
             M = np.stack([np.asarray(r[1], dtype=np.float64)
                           for r in data])
@@ -488,7 +491,16 @@ def embedding_near_duplicates(
                 max(1, -(-n // 256)),
             )
             return base.repartition(parts).mapInPandas(block, out_schema)
-        # non-numeric ids: Catalyst pair path (general but slower)
+        # non-numeric ids: Catalyst pair path (general but slower) —
+        # the quadratic refusal still needs a count here (no collect
+        # happens on this path, so there is no bounded job to reuse)
+        n = base.count()
+        if n > max_rows_exact:
+            raise ValueError(
+                f"embedding_near_duplicates(method='exact') is quadratic: "
+                f"{n} rows > max_rows_exact={max_rows_exact}; use "
+                f"method='lsh' at corpus scale"
+            )
         a, b = base.alias("a"), base.alias("b")
         pairs = a.join(
             b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
