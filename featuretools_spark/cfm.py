@@ -505,6 +505,21 @@ def _calculate_feature_matrix(
         strategy = _resolve_auto_strategy(
             base_keys.sparkSession, base_keys, len(agg_feats),
             count_frame=cutoffs if scalar_cutoff is None else None)
+    if strategy == "join" and scalar_cutoff is None and agg_feats:
+        # ONE exchange serves both the key dedup and the as-of join
+        # (guide §2.4 "two operations keyed the same way share one
+        # exchange"): hash-partitioning by the entity alone already
+        # satisfies the distinct's (entity, cutoff) clustering AND the
+        # join's entity clustering, so the explicit repartition
+        # replaces the distinct's (entity, cutoff) exchange + the
+        # join's entity re-exchange with a single shuffle of the
+        # cutoff rows. Not done for sortmerge: its marker union
+        # repartitions everything anyway, so a pre-exchange here would
+        # be pure extra work.
+        base_keys = cutoffs.select(index_col, CUTOFF_COL) \
+            .repartition(F.col(index_col)).distinct()
+        if matrix_is_bare:
+            matrix = base_keys
     scalar_ctx = (scalar_cutoff, include_cutoff_time, training_window,
                   strategy)
 
@@ -990,10 +1005,16 @@ def _calculate_feature_matrix(
     # ---- final projection: rename + attach pass columns ----
     out_cols = [F.col(index_col), F.col(CUTOFF_COL).alias("time")]
     if pass_cols:
+        # repartition the (narrow) cutoff side by the entity key alone:
+        # both join children then report HashPartitioning(entity),
+        # which co-partitions a join on (entity, cutoff) with NO
+        # exchange of the WIDE matrix side — the matrix leaves the
+        # aggregation/kernel already entity-partitioned (guide §2.4;
+        # spark.sql.requireAllClusterKeysForCoPartition=false default)
         matrix = matrix.join(
             cutoffs.select(
                 index_col, CUTOFF_COL, *pass_cols
-            ),
+            ).repartition(F.col(index_col)),
             on=[index_col, CUTOFF_COL],
             how="left",
         )

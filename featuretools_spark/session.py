@@ -27,6 +27,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # allow co-partitioned joins when both sides share the SAME
+        # subset of the join keys (e.g. as-of matrices leave the
+        # aggregation entity-partitioned; the pass-column re-attach
+        # joins on (entity, cutoff) — entity-only co-partitioning is
+        # sufficient clustering and skips re-shuffling the wide
+        # matrix side; guide §2.4). Scale-independent planner
+        # behavior, not a local[32] tune: the subset key's skew equals
+        # the skew the upstream aggregation already carried.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
